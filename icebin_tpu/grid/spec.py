@@ -1,0 +1,268 @@
+"""Grid specifications: lat-lon GCM grids and projected Cartesian ice grids.
+
+TPU-native re-design of the reference's grid model (reference:
+``slib/icebin/Grid.*``, ``GridSpec.*``, ``AbbrGrid.*`` [U]; SURVEY.md section 2
+"Grid / GridSpec").  The reference stores grids as explicit per-cell polygon
+objects (``Cell`` = list of ``Vertex``); that representation is
+pointer-chasing, host-only, and useless to XLA.  Here a grid is a *spec*:
+border arrays plus an ``Indexing``, from which cell corners, centers, and
+areas are materialized as dense vectorized arrays on demand -- the form the
+Pallas exchange-grid kernel and the sparse regridding algebra consume
+directly.
+
+Conventions
+-----------
+* Flat cell index follows ``spec.indexing`` which is Fortran-order ``(i, j)``
+  (i = lon/x varies fastest), matching ModelE's array layout so fields can be
+  exchanged with a Fortran GCM without index shuffling
+  (reference: ibmisc ``Indexing`` column-major use [U]).
+* A 2-D numpy array laid out ``arr[j, i]`` (C-order) therefore flattens to
+  exactly the flat cell index order; helpers below exploit that.
+* Lat-lon cell areas are exact on the sphere: R^2 * dlon * (sin(lat2) -
+  sin(lat1)); pole caps are exact spherical caps.  XY cell native areas are
+  exact in the projection plane: dx * dy.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from icebin_tpu.utils.indexing import Indexing
+from icebin_tpu.grid.proj import EQ_RAD, Projection, from_proj4
+
+__all__ = ["GridSpecLonLat", "GridSpecXY", "Grid", "modele_lonlat_grid"]
+
+
+def _as_f64(a):
+    return np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpecLonLat:
+    """Regular (possibly non-uniform) lat-lon grid defined by border arrays.
+
+    Reference equivalent: ``GridSpec_LonLat`` [U] (lonb/latb borders, pole
+    caps, ``eq_rad``).  ``pole_cap_south/north``: when true, the cells of the
+    first/last latitude row are conceptually merged into a single polar cap --
+    kept as separate (i, j) cells for indexing (ModelE replicates the pole
+    value over i) but with the cap area split evenly among them.
+    """
+
+    lonb: np.ndarray          # (nlon+1,) degrees, strictly increasing
+    latb: np.ndarray          # (nlat+1,) degrees, strictly increasing
+    eq_rad: float = EQ_RAD
+    pole_cap_south: bool = False
+    pole_cap_north: bool = False
+    name: str = "lonlat"
+
+    def __post_init__(self):
+        object.__setattr__(self, "lonb", _as_f64(self.lonb))
+        object.__setattr__(self, "latb", _as_f64(self.latb))
+        if not (np.diff(self.lonb) > 0).all():
+            raise ValueError("lonb must be strictly increasing")
+        if not (np.diff(self.latb) > 0).all():
+            raise ValueError("latb must be strictly increasing")
+        if self.latb[0] < -90.0 - 1e-9 or self.latb[-1] > 90.0 + 1e-9:
+            raise ValueError("latb out of [-90, 90]")
+
+    @property
+    def nlon(self) -> int:
+        return len(self.lonb) - 1
+
+    @property
+    def nlat(self) -> int:
+        return len(self.latb) - 1
+
+    @property
+    def shape(self):
+        return (self.nlon, self.nlat)
+
+    @property
+    def ncells(self) -> int:
+        return self.nlon * self.nlat
+
+    @property
+    def indexing(self) -> Indexing:
+        return Indexing.f_order((self.nlon, self.nlat), names=("lon", "lat"))
+
+    # -- geometry ----------------------------------------------------------
+
+    def cell_areas(self) -> np.ndarray:
+        """Exact spherical areas, flat cell order (j-major); shape (ncells,)."""
+        R = self.eq_rad
+        sinlat = np.sin(np.radians(self.latb))
+        dlon = np.radians(np.diff(self.lonb))          # (nlon,)
+        dsin = np.diff(sinlat)                          # (nlat,)
+        area = R * R * dsin[:, None] * dlon[None, :]    # (nlat, nlon)
+        # Pole caps: exact cap area split evenly over the nlon cells of the row.
+        if self.pole_cap_south and np.isclose(self.latb[0], -90.0):
+            cap = 2.0 * np.pi * R * R * (sinlat[1] - (-1.0))
+            area[0, :] = cap / self.nlon
+        if self.pole_cap_north and np.isclose(self.latb[-1], 90.0):
+            cap = 2.0 * np.pi * R * R * (1.0 - sinlat[-2])
+            area[-1, :] = cap / self.nlon
+        return area.reshape(-1)
+
+    def cell_polygons(self, subdiv: int = 1) -> np.ndarray:
+        """(ncells, 4*subdiv, 2) lon/lat corner rings, CCW, flat cell order.
+
+        ``subdiv`` points per edge: projected lat-lon cells have curved edges
+        in a stereographic plane; subdividing edges before projection bounds
+        the polygon-approximation error (SURVEY.md section 7 "hard parts").
+        """
+        n = subdiv
+        lon0 = self.lonb[:-1]
+        lon1 = self.lonb[1:]
+        lat0 = self.latb[:-1]
+        lat1 = self.latb[1:]
+        t = np.arange(n, dtype=np.float64) / n          # [0, 1) fractions
+        # Edge parametrizations, each (npts_edge, ...) then assembled CCW:
+        # S edge (lat0, lon0->lon1), E edge (lon1, lat0->lat1),
+        # N edge (lat1, lon1->lon0), W edge (lon0, lat1->lat0).
+        LON0, LAT0 = np.meshgrid(lon0, lat0)            # (nlat, nlon)
+        LON1, LAT1 = np.meshgrid(lon1, lat1)
+        pts = np.empty((self.nlat, self.nlon, 4 * n, 2), dtype=np.float64)
+        for k, f in enumerate(t):
+            pts[:, :, k, 0] = LON0 + (LON1 - LON0) * f
+            pts[:, :, k, 1] = LAT0
+            pts[:, :, n + k, 0] = LON1
+            pts[:, :, n + k, 1] = LAT0 + (LAT1 - LAT0) * f
+            pts[:, :, 2 * n + k, 0] = LON1 + (LON0 - LON1) * f
+            pts[:, :, 2 * n + k, 1] = LAT1
+            pts[:, :, 3 * n + k, 0] = LON0
+            pts[:, :, 3 * n + k, 1] = LAT1 + (LAT0 - LAT1) * f
+        return pts.reshape(self.ncells, 4 * n, 2)
+
+    def cell_centers(self) -> np.ndarray:
+        """(ncells, 2) lon/lat of area centroids (lon midpoint, sin-lat mean)."""
+        lonc = 0.5 * (self.lonb[:-1] + self.lonb[1:])
+        sinlat = np.sin(np.radians(self.latb))
+        latc = np.degrees(np.arcsin(0.5 * (sinlat[:-1] + sinlat[1:])))
+        LON, LAT = np.meshgrid(lonc, latc)
+        return np.stack([LON.reshape(-1), LAT.reshape(-1)], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpecXY:
+    """Cartesian grid in a projection plane (ice grids: PISM / SeaRISE).
+
+    Reference equivalent: ``GridSpec_XY`` [U] (x/y border arrays + PROJ
+    string).  ``projection`` maps lon/lat <-> plane; the grid itself is an
+    axis-aligned lattice in the plane, which is what makes the TPU clipping
+    kernel cheap: clipping *any* polygon against an axis-aligned rectangle is
+    four fixed half-plane passes (``icebin_tpu.ops.clip``).
+    """
+
+    xb: np.ndarray            # (nx+1,) metres in projection plane, increasing
+    yb: np.ndarray            # (ny+1,)
+    projection: Projection = None
+    name: str = "xy"
+
+    def __post_init__(self):
+        object.__setattr__(self, "xb", _as_f64(self.xb))
+        object.__setattr__(self, "yb", _as_f64(self.yb))
+        if isinstance(self.projection, str):
+            object.__setattr__(self, "projection", from_proj4(self.projection))
+        if not (np.diff(self.xb) > 0).all() or not (np.diff(self.yb) > 0).all():
+            raise ValueError("xb/yb must be strictly increasing")
+
+    @property
+    def nx(self) -> int:
+        return len(self.xb) - 1
+
+    @property
+    def ny(self) -> int:
+        return len(self.yb) - 1
+
+    @property
+    def shape(self):
+        return (self.nx, self.ny)
+
+    @property
+    def ncells(self) -> int:
+        return self.nx * self.ny
+
+    @property
+    def indexing(self) -> Indexing:
+        return Indexing.f_order((self.nx, self.ny), names=("x", "y"))
+
+    def cell_areas(self) -> np.ndarray:
+        """Native (projection-plane) areas, flat order; shape (ncells,)."""
+        dx = np.diff(self.xb)
+        dy = np.diff(self.yb)
+        return (dy[:, None] * dx[None, :]).reshape(-1)
+
+    def cell_rects(self) -> np.ndarray:
+        """(ncells, 4) = (x0, y0, x1, y1) axis-aligned rect per cell."""
+        X0, Y0 = np.meshgrid(self.xb[:-1], self.yb[:-1])
+        X1, Y1 = np.meshgrid(self.xb[1:], self.yb[1:])
+        return np.stack([X0.reshape(-1), Y0.reshape(-1),
+                         X1.reshape(-1), Y1.reshape(-1)], axis=-1)
+
+    def cell_centers(self) -> np.ndarray:
+        """(ncells, 2) plane coordinates of cell centers."""
+        xc = 0.5 * (self.xb[:-1] + self.xb[1:])
+        yc = 0.5 * (self.yb[:-1] + self.yb[1:])
+        X, Y = np.meshgrid(xc, yc)
+        return np.stack([X.reshape(-1), Y.reshape(-1)], axis=-1)
+
+    def cell_centers_ll(self) -> np.ndarray:
+        """(ncells, 2) lon/lat of cell centers via the inverse projection."""
+        c = self.cell_centers()
+        lon, lat = self.projection.xy2ll(c[:, 0], c[:, 1])
+        return np.stack([np.asarray(lon), np.asarray(lat)], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Grid:
+    """A spec plus a realized-cell mask.
+
+    The reference ``Grid`` stores only realized cells sparsely [U]; here the
+    spec is dense and ``mask`` (flat bool, True = realized) carries sparsity.
+    ``None`` means all cells realized.
+    """
+
+    spec: object
+    mask: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.mask is not None:
+            m = np.asarray(self.mask, dtype=bool).reshape(-1)
+            if m.size != self.spec.ncells:
+                raise ValueError("mask size mismatch")
+            object.__setattr__(self, "mask", m)
+
+    @property
+    def ncells(self) -> int:
+        return self.spec.ncells
+
+    def realized(self) -> np.ndarray:
+        if self.mask is None:
+            return np.ones(self.spec.ncells, dtype=bool)
+        return self.mask
+
+
+def modele_lonlat_grid(im: int = 144, jm: int = 90,
+                       eq_rad: float = EQ_RAD,
+                       name: str = None) -> GridSpecLonLat:
+    """ModelE-style global lat-lon grid with half-height polar rows.
+
+    ``im=144, jm=90`` is the ModelE 2 x 2.5 degree atmosphere grid of
+    BASELINE.json configs (reference grid script ``modele_ll_g2x2_5`` [U]):
+    lon borders every 2.5 deg starting at -180 offset by half a cell
+    (ModelE convention: first cell centered on the date line), lat rows 2 deg
+    tall except 1-deg polar rows capped at +-90.
+    """
+    dlon = 360.0 / im
+    lonb = -180.0 - dlon / 2.0 + dlon * np.arange(im + 1)
+    dlat = 180.0 / jm
+    latb = np.empty(jm + 1, dtype=np.float64)
+    latb[0] = -90.0
+    latb[-1] = 90.0
+    # interior borders: half-height polar rows
+    latb[1:-1] = -90.0 + dlat / 2.0 + dlat * np.arange(jm - 1)
+    return GridSpecLonLat(lonb=lonb, latb=latb, eq_rad=eq_rad,
+                          pole_cap_south=True, pole_cap_north=True,
+                          name=name or f"modele_ll_g{dlat:g}x{dlon:g}")

@@ -1,0 +1,122 @@
+"""Batched polygon-vs-rectangle clipping on TPU (XLA and Pallas engines).
+
+Same scatter-free Sutherland--Hodgman data flow as the f64 oracle
+(``icebin_tpu.oracle.clip`` -- see its docstring for the algorithm); here
+expressed in jax so XLA fuses the whole 4-pass clip + shoelace into one
+kernel launch, plus a hand-written Pallas version (``pallas_clip``) for
+speed-of-light throughput on the 'overlap cells/s' north-star metric
+(BASELINE.md).  Inputs are recentered per pair by the caller so f32 holds
+~1e-7 relative accuracy; conservation is restored exactly by the host-side
+f64 repair pass (``icebin_tpu.grid.exchange``).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["clip_polys_rects", "polygon_areas", "polygon_centroids",
+           "clip_areas_centroids", "make_clip_engine"]
+
+
+def _propagate_last_valid(pts, valid):
+    """(B, V, 2), (B, V) -> invalid slots replaced by nearest preceding valid
+    vertex (ring wrap); rows with no valid slots become all-zero."""
+    B, V, _ = pts.shape
+    slot = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    idx = jnp.where(valid, slot, -1)
+    idx = jax.lax.cummax(idx, axis=1)
+    last = idx[:, -1]
+    any_valid = last >= 0
+    idx = jnp.where(idx < 0, last[:, None], idx)
+    idx = jnp.where(any_valid[:, None], idx, 0)
+    out = jnp.take_along_axis(pts, idx[:, :, None], axis=1)
+    return jnp.where(any_valid[:, None, None], out, 0.0)
+
+
+def halfplane_pass(pts, d):
+    """One S--H pass keeping d >= 0; (B, V, 2) -> (B, 2V, 2)."""
+    prev = jnp.roll(pts, 1, axis=1)
+    dprev = jnp.roll(d, 1, axis=1)
+    inside = d >= 0.0
+    inside_prev = dprev >= 0.0
+    crossing = inside != inside_prev
+    denom = dprev - d
+    safe = jnp.where(jnp.abs(denom) > 0.0, denom, 1.0)
+    t = jnp.where(crossing, dprev / safe, 0.0)[:, :, None]
+    inter = prev + t * (pts - prev)
+    # Interleave [inter_k, v_k] along the vertex axis.
+    out = jnp.stack([inter, pts], axis=2).reshape(pts.shape[0], -1, 2)
+    valid = jnp.stack([crossing, inside], axis=2).reshape(pts.shape[0], -1)
+    return _propagate_last_valid(out, valid)
+
+
+def clip_polys_rects(polys, rects):
+    """(B, V0, 2) polys x (B, 4) rects (x0,y0,x1,y1) -> (B, 16*V0, 2) rings."""
+    p = polys
+    p = halfplane_pass(p, p[:, :, 0] - rects[:, 0:1])
+    p = halfplane_pass(p, rects[:, 2:3] - p[:, :, 0])
+    p = halfplane_pass(p, p[:, :, 1] - rects[:, 1:2])
+    p = halfplane_pass(p, rects[:, 3:4] - p[:, :, 1])
+    return p
+
+
+def polygon_areas(rings):
+    x = rings[:, :, 0]
+    y = rings[:, :, 1]
+    xn = jnp.roll(x, -1, axis=1)
+    yn = jnp.roll(y, -1, axis=1)
+    return 0.5 * jnp.sum(x * yn - xn * y, axis=1)
+
+
+def polygon_centroids(rings):
+    x = rings[:, :, 0]
+    y = rings[:, :, 1]
+    xn = jnp.roll(x, -1, axis=1)
+    yn = jnp.roll(y, -1, axis=1)
+    cr = x * yn - xn * y
+    a = 0.5 * jnp.sum(cr, axis=1)
+    cx = jnp.sum((x + xn) * cr, axis=1)
+    cy = jnp.sum((y + yn) * cr, axis=1)
+    safe = jnp.where(jnp.abs(a) > 0.0, 6.0 * a, 1.0)
+    c = jnp.stack([cx, cy], axis=-1) / safe[:, None]
+    return jnp.where((jnp.abs(a) <= 0.0)[:, None], rings[:, 0, :], c)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def clip_areas_centroids(polys, rects):
+    rings = clip_polys_rects(polys, rects)
+    return polygon_areas(rings), polygon_centroids(rings)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def make_clip_engine(engine: str = "jax", dtype=None):
+    """Returns fn(subj (B,V0,2) np, rect (B,4) np) -> (areas, centroids).
+
+    Pads the batch to a power of two so jit specializes on O(log B) shapes.
+    """
+    if engine == "pallas":
+        from icebin_tpu.ops.pallas_clip import clip_areas_centroids_pallas
+        kernel = clip_areas_centroids_pallas
+    else:
+        kernel = clip_areas_centroids
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def fn(subj: np.ndarray, rect: np.ndarray):
+        B = subj.shape[0]
+        Bp = max(8, _next_pow2(B))
+        if Bp != B:
+            subj = np.concatenate(
+                [subj, np.zeros((Bp - B,) + subj.shape[1:], subj.dtype)])
+            rect = np.concatenate(
+                [rect, np.tile(np.array([[0.0, 0.0, 1.0, 1.0]]), (Bp - B, 1))])
+        a, c = kernel(jnp.asarray(subj, dtype), jnp.asarray(rect, dtype))
+        return np.asarray(a)[:B], np.asarray(c)[:B]
+
+    return fn
