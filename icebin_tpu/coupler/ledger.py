@@ -1,0 +1,83 @@
+"""Per-step conservation ledger and on-device mass repair.
+
+Reference: conservation in IceBin comes from CGAL exactness plus per-step
+NetCDF dumps that let one *diff* mass offline (reference: ``GCMCoupler``
+``gcm-out``/``gcm-in`` writers [U]; SURVEY.md section 5.5).  The TPU build
+makes conservation an *active* runtime feature (north star: "conservation
+tracked per step"):
+
+* All mass accounting runs in f64 ON DEVICE (XLA emulates f64 on TPU; it is
+  only reductions, a few MB per step, so the cost is negligible) -- f32
+  apply noise never enters the books.
+* ``repair_mass`` redistributes the f64-measured apply error additively,
+  weighted by destination weight, making every regrid step conserve to f64
+  round-off even though the SpMV itself runs f32.  This is the runtime
+  analog of the exchange-grid conservation-repair pass (SURVEY.md section 7
+  hard part (a)).
+* The ``Ledger`` accumulates named f64 totals per step; ``check`` returns
+  the relative closure error -- the quantity the north star bounds at 1e-10.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["weighted_mass", "repair_mass", "Ledger"]
+
+
+def weighted_mass(f, w):
+    """f64 sum of f*w with NaN treated as 0 (masked cells). f: (..., n)."""
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    fv = jnp.where(jnp.isfinite(f), f, 0.0).astype(f64)
+    return jnp.sum(fv * w.astype(f64), axis=-1)
+
+
+def repair_mass(out, wM, m_src):
+    """Additively correct ``out`` ((nvar, nrow) dest means) so that
+    sum(out * wM) == m_src ((nvar,) f64) exactly in f64.
+
+    The correction is uniform per unit weight (each dest cell absorbs error
+    proportional to its area), preserving field shape while pinning the
+    integral.  Cells with zero weight are untouched.
+    """
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    m_dst = weighted_mass(out, wM)
+    wtot = jnp.sum(wM.astype(f64))
+    corr = (m_src.astype(f64) - m_dst) / jnp.where(wtot > 0, wtot, 1.0)
+    fixed = out + corr[:, None].astype(out.dtype)
+    return jnp.where((wM > 0)[None, :] & jnp.isfinite(out), fixed, out)
+
+
+@dataclasses.dataclass
+class Ledger:
+    """Host-side f64 account book, one row per coupling step."""
+
+    steps: List[Dict[str, float]] = dataclasses.field(default_factory=list)
+
+    def open_step(self, t: float) -> Dict[str, float]:
+        row = {"t": float(t)}
+        self.steps.append(row)
+        return row
+
+    def post(self, key: str, value) -> None:
+        self.steps[-1][key] = float(value)
+
+    def closure_error(self, inflow_keys, outflow_keys, store_key,
+                      step: int = -1) -> float:
+        """Relative closure of: store_new - store_old == in - out."""
+        row = self.steps[step]
+        prev = self.steps[step - 1] if len(self.steps) > 1 and step != 0 else None
+        store_old = prev[store_key] if prev and store_key in prev else 0.0
+        inflow = sum(row.get(k, 0.0) for k in inflow_keys)
+        outflow = sum(row.get(k, 0.0) for k in outflow_keys)
+        lhs = row[store_key] - store_old
+        rhs = inflow - outflow
+        scale = max(abs(row[store_key]), abs(inflow), abs(outflow), 1e-300)
+        return abs(lhs - rhs) / scale
+
+    def to_rows(self):
+        return list(self.steps)

@@ -1,0 +1,116 @@
+"""Field contracts: declarative variable sets for GCM<->ice transport.
+
+Reference: ``VarSet``/``VarMeta`` plus the per-model-pair contract tables in
+``contracts/modele_pism.cpp`` [U] (SURVEY.md section 2 "VarSet / contracts").
+A contract names every field crossing the coupling boundary, its units, CF
+standard name, default, and flags; at coupler init both sides' contracts are
+unit-checked and compiled into fused (factor, offset) conversion vectors for
+the device apply.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from icebin_tpu.coupler.units import convert_factor
+
+__all__ = ["VarMeta", "VarSet", "modele_ice_input_contract",
+           "ice_modele_output_contract"]
+
+# flags (reference VarMeta flags [U])
+INITIAL = 1       # field must be provided at initialization
+
+
+@dataclasses.dataclass(frozen=True)
+class VarMeta:
+    name: str
+    units: str
+    description: str = ""
+    cf_name: str = ""
+    default: float = 0.0
+    flags: int = 0
+
+
+class VarSet:
+    """Ordered contract: index() positions match rows in the multivec."""
+
+    def __init__(self, vars_: Optional[List[VarMeta]] = None):
+        self._vars: List[VarMeta] = list(vars_ or [])
+        self._index: Dict[str, int] = {v.name: k
+                                       for k, v in enumerate(self._vars)}
+
+    def add(self, name: str, units: str, description: str = "",
+            cf_name: str = "", default: float = 0.0, flags: int = 0):
+        if name in self._index:
+            raise ValueError(f"duplicate contract field {name!r}")
+        self._index[name] = len(self._vars)
+        self._vars.append(VarMeta(name, units, description, cf_name,
+                                  default, flags))
+        return self
+
+    def __len__(self):
+        return len(self._vars)
+
+    def __iter__(self):
+        return iter(self._vars)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._vars[self._index[key]]
+        return self._vars[key]
+
+    def index(self, name: str) -> int:
+        return self._index[name]
+
+    @property
+    def names(self):
+        return [v.name for v in self._vars]
+
+    def conversion_to(self, other: "VarSet"):
+        """Per-field affine conversion vectors (factor, offset) mapping THIS
+        contract's units to ``other``'s, matched by name.  Unit-dimension
+        mismatches raise -- the reference coupler's init-time contract check."""
+        if self.names != other.names:
+            raise ValueError(f"contract field mismatch: {self.names} "
+                             f"vs {other.names}")
+        fac = np.ones(len(self))
+        off = np.zeros(len(self))
+        for k, (a, b) in enumerate(zip(self._vars, other._vars)):
+            fac[k], off[k] = convert_factor(a.units, b.units)
+        return fac, off
+
+    def defaults(self, n: int) -> np.ndarray:
+        out = np.zeros((len(self), n))
+        for k, v in enumerate(self._vars):
+            out[k] = v.default
+        return out
+
+
+def modele_ice_input_contract() -> VarSet:
+    """GCM -> ice forcing fields (reference: contracts::setup_modele_pism
+    GCM-output/ice-input table [U]; names follow the ModelE LISnow/IceBin
+    coupling fields)."""
+    vs = VarSet()
+    vs.add("smb_mass", "kg m-2 s-1", "surface mass balance (ice equivalent)",
+           cf_name="land_ice_surface_specific_mass_balance_flux")
+    vs.add("smb_enth", "W m-2", "enthalpy flux of surface mass balance")
+    vs.add("heat_flux", "W m-2", "sensible heat flux into ice surface",
+           cf_name="upward_heat_flux_at_ground_level_in_ice")
+    vs.add("tsurf", "degC", "ice surface temperature",
+           cf_name="surface_temperature")
+    return vs
+
+
+def ice_modele_output_contract() -> VarSet:
+    """ice -> GCM feedback fields (reference ice-output table [U])."""
+    vs = VarSet()
+    vs.add("elevation", "m", "ice upper surface elevation",
+           cf_name="surface_altitude", flags=INITIAL)
+    vs.add("thickness", "m", "ice thickness",
+           cf_name="land_ice_thickness", flags=INITIAL)
+    vs.add("mask", "1", "ice presence mask (1=ice)", flags=INITIAL)
+    vs.add("basal_flux", "kg m-2 s-1", "basal melt mass flux")
+    vs.add("calving_flux", "kg m-2 s-1", "calving mass flux")
+    return vs

@@ -1,0 +1,174 @@
+"""JAX ice-sheet model: the PISM stand-in for the coupling runtime.
+
+Reference: ``IceCoupler_PISM`` embeds the full PISM ice-sheet model (PETSc,
+MPI) in-process (reference: ``slib/icebin/pism/IceCoupler_PISM.*`` [U];
+SURVEY.md section 2).  PISM itself is out of scope; the north star
+(BASELINE.json config #4) requires a "PISM-style ice grid" transient loop --
+an SMB-driven ice model on the projected lattice whose state evolves so the
+coupler's matrix-regeneration, E1vE0 remap, and conservation machinery are
+exercised for real.
+
+The model implemented here is a shallow-ice-approximation (SIA) thickness
+evolution:
+
+    dH/dt = smb/rho_ice + div( D(H, grad s) * grad s ),   s = bed + H
+
+with D the isothermal SIA diffusivity D = Gamma H^{n+2} |grad s|^{n-1}
+(Glen n=3), explicit Euler with a diffusive CFL-limited internal substep.
+This is a *real* (if simple) ice dynamics core -- mass is exactly conserved
+by construction (flux-form divergence on the lattice; zero-flux at margins),
+which is what the coupler's conservation ledger checks end-to-end.
+
+Everything is jit-compatible: state is a pytree of dense lattice arrays,
+the step is pure, and the stencil operations are XLA shifts (no gathers),
+so the model shards over an ice-domain-decomposed device mesh with halo
+exchange via shard_map (``icebin_tpu.parallel``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["IceSheetConfig", "IceSheetState", "init_state", "step",
+           "RHO_ICE", "GRAVITY"]
+
+RHO_ICE = 910.0        # kg m-3
+GRAVITY = 9.81         # m s-2
+GLEN_N = 3.0
+# SIA softness Gamma = 2 A (rho g)^n / (n + 2), A = 1e-16 Pa-3 yr-1 converted
+_A_GLEN = 1e-16 / (365.2425 * 86400.0)   # Pa-3 s-1
+GAMMA = 2.0 * _A_GLEN * (RHO_ICE * GRAVITY) ** GLEN_N / (GLEN_N + 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class IceSheetConfig:
+    nx: int
+    ny: int
+    dx: float                 # m
+    dy: float                 # m
+    dt_max: float = 0.1 * 365.2425 * 86400.0   # max internal substep [s]
+    n_substeps_max: int = 64  # static bound for lax.scan substepping
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class IceSheetState:
+    """(ny, nx) lattice arrays; thickness H in m ice equivalent."""
+
+    H: jnp.ndarray          # ice thickness [m]
+    bed: jnp.ndarray        # bedrock elevation [m]
+    t: jnp.ndarray          # model time [s], scalar
+
+    def tree_flatten(self):
+        return ((self.H, self.bed, self.t), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    @property
+    def surface(self) -> jnp.ndarray:
+        return self.bed + self.H
+
+    def elevmask(self, min_thickness: float = 1.0) -> jnp.ndarray:
+        """Flat (nI,) surface elevation where iced, NaN elsewhere -- the
+        ``elevmaskI`` consumed by RegridMatrices."""
+        icy = self.H > min_thickness
+        return jnp.where(icy, self.surface, jnp.nan).reshape(-1)
+
+    def mass(self, cell_area: float) -> jnp.ndarray:
+        """Total ice mass [kg] (f64 on CPU, f32 on TPU; the ledger upcasts)."""
+        return jnp.sum(self.H) * cell_area * RHO_ICE
+
+
+def init_state(cfg: IceSheetConfig, bed=None, H0=None,
+               dome_height: float = 3000.0,
+               dome_radius_frac: float = 0.7) -> IceSheetState:
+    """Default: Vialov-style parabolic dome centered on the lattice."""
+    if bed is None:
+        bed = jnp.zeros((cfg.ny, cfg.nx), jnp.float32)
+    else:
+        bed = jnp.asarray(bed, jnp.float32).reshape(cfg.ny, cfg.nx)
+    if H0 is None:
+        y, x = jnp.meshgrid(jnp.arange(cfg.ny), jnp.arange(cfg.nx),
+                            indexing="ij")
+        rx = (x - (cfg.nx - 1) / 2) / (cfg.nx * dome_radius_frac / 2)
+        ry = (y - (cfg.ny - 1) / 2) / (cfg.ny * dome_radius_frac / 2)
+        r = jnp.sqrt(rx ** 2 + ry ** 2)
+        H0 = dome_height * jnp.maximum(0.0, 1.0 - r ** 1.5) ** (3.0 / 8.0)
+        H0 = H0.astype(jnp.float32)
+    else:
+        H0 = jnp.asarray(H0, jnp.float32).reshape(cfg.ny, cfg.nx)
+    return IceSheetState(H=H0, bed=bed, t=jnp.zeros((), jnp.float64)
+                         if jax.config.jax_enable_x64 else jnp.zeros((), jnp.float32))
+
+
+def _sia_flux_div(H, s, dx, dy):
+    """Flux-form SIA divergence: conservative by construction.
+
+    Staggered-face diffusivities (arithmetic-mean H, centered grad s) and a
+    flux divergence whose interior face fluxes cancel pairwise, so
+    sum(div) == boundary flux == 0 with zero-gradient margins clamped."""
+    # east faces: between (j, i) and (j, i+1); shape (ny, nx-1)
+    He = 0.5 * (H[:, 1:] + H[:, :-1])
+    dsx = (s[:, 1:] - s[:, :-1]) / dx
+    # y-gradient on east faces (average of central diffs, clamped edges)
+    sy = jnp.gradient(s, axis=0) / dy
+    sye = 0.5 * (sy[:, 1:] + sy[:, :-1])
+    grad2_e = dsx ** 2 + sye ** 2
+    De = GAMMA * He ** (GLEN_N + 2) * grad2_e ** ((GLEN_N - 1) / 2)
+    qe = De * dsx                                    # flux east per unit width
+
+    Hn = 0.5 * (H[1:, :] + H[:-1, :])
+    dsy = (s[1:, :] - s[:-1, :]) / dy
+    sx = jnp.gradient(s, axis=1) / dx
+    sxn = 0.5 * (sx[1:, :] + sx[:-1, :])
+    grad2_n = dsy ** 2 + sxn ** 2
+    Dn = GAMMA * Hn ** (GLEN_N + 2) * grad2_n ** ((GLEN_N - 1) / 2)
+    qn = Dn * dsy
+
+    div = jnp.zeros_like(H)
+    div = div.at[:, :-1].add(qe / dx)
+    div = div.at[:, 1:].add(-qe / dx)
+    div = div.at[:-1, :].add(qn / dy)
+    div = div.at[1:, :].add(-qn / dy)
+    Dmax = jnp.maximum(jnp.max(De) if De.size else 0.0,
+                       jnp.max(Dn) if Dn.size else 0.0)
+    return div, Dmax
+
+
+def step(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
+         dt: float) -> IceSheetState:
+    """Advance one coupling interval ``dt`` [s].
+
+    smb_flux: (ny*nx,) or (ny, nx) surface mass balance [kg m-2 s-1]
+    (ice gain positive).  Internally substeps at the diffusive CFL limit
+    using a static-bound ``lax.scan`` (jit-friendly: no data-dependent trip
+    count; excess substeps are masked no-ops).
+    """
+    smb = jnp.asarray(smb_flux).reshape(cfg.ny, cfg.nx) / RHO_ICE  # m/s ice
+
+    def substep(carry, _):
+        H, t_done = carry
+        s = state.bed + H
+        div, Dmax = _sia_flux_div(H, s, cfg.dx, cfg.dy)
+        # diffusive CFL: dt < min(dx,dy)^2 / (4 Dmax)
+        cfl = jnp.where(Dmax > 0,
+                        0.25 * min(cfg.dx, cfg.dy) ** 2 / (Dmax + 1e-30),
+                        cfg.dt_max)
+        dt_sub = jnp.minimum(jnp.minimum(cfl, cfg.dt_max), dt - t_done)
+        dt_sub = jnp.maximum(dt_sub, 0.0)
+        # SMB applied per substep; negative SMB cannot remove more ice than
+        # present (mass-conserving clamp: the unfulfilled melt is dropped on
+        # the ice side and accounted by the coupler ledger as 'unmelted').
+        dH = (div + smb) * dt_sub
+        H_new = jnp.maximum(H + dH, 0.0)
+        return (H_new, t_done + dt_sub), None
+
+    (H, t_done), _ = jax.lax.scan(substep, (state.H, jnp.zeros((), state.H.dtype)),
+                                  None, length=cfg.n_substeps_max)
+    return IceSheetState(H=H, bed=state.bed, t=state.t + dt)

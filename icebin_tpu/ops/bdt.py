@@ -1,0 +1,232 @@
+"""Block-dense-tile (BDT) sparse format: the TPU-native regrid-apply layout.
+
+Why this exists: regrid matrices connect a HUGE ice space (10^5..10^7 cells)
+to a SMALL atmosphere/elevation space (10^4..10^5), and TPU random gather is
+catastrophically slow (~1.5 G elem/s measured on v5e -- 1% of HBM roof; see
+tools/bench_spmv_explore.py).  The reference's Eigen SpMV (``linear::
+Weighted_Eigen::apply_M`` [U]) has no such constraint on CPU; a TPU-native
+apply must avoid per-element gathers entirely.
+
+BDT exploits the exchange grid's *spatial locality*: 128 consecutive ice
+cells (one lattice-row chunk) overlap only a handful of A cells, whose
+elevation classes are adjacent in an a-major E layout.  So the matrix --
+canonically oriented (small-space rows) x (ice cols) -- is stored as dense
+f32 tiles of shape (8 small rows x 128 ice lanes):
+
+  * tiles:      (nblk, T, 8, 128)  dense values; nblk = ice cols / 128,
+                T = tiles per ice block (padded; overflow entries spill to a
+                COO fallback)
+  * row_start:  (nblk, T) int32    first small-space row of each tile window
+
+Apply in either direction is then contiguous tile streaming plus small MXU
+matmuls:
+  dest-small (EvI, AvI):  acc[row_start:+8] += tile @ f_ice_block(128, nvar)
+  dest-ice  (IvE, IvA):   out_block(128)  += f_small[row_start:+8] @ tile
+with NO gather over the ice space at all; the only irregular access is
+8-row windows of the small space (VMEM-resident, ~2 MB).
+
+This module: host-side builder + XLA reference apply.  The Pallas
+speed-of-light kernel lives in ``icebin_tpu.ops.pallas_spmv`` and shares this
+layout.  (SURVEY.md section 7 stage 4: 'padded block-CSR ... flagship
+kernel'.)
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icebin_tpu.regrid.sparse import WeightedMatrix
+
+__all__ = ["BDTMatrix", "bdt_from_weighted", "apply_bdt"]
+
+TILE_R = 8      # small-space rows per tile (sublane)
+TILE_C = 128    # ice cols per tile (lane)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BDTMatrix:
+    """Canonical (small x ice) block-dense-tile matrix on device."""
+
+    tiles: jnp.ndarray       # (nblk, T, 8, 128) f32
+    row_start: jnp.ndarray   # (nblk, T) int32 (0 where tile is empty/padding)
+    ov_rows: Optional[jnp.ndarray]   # overflow COO (sorted by row) or None
+    ov_cols: Optional[jnp.ndarray]
+    ov_vals: Optional[jnp.ndarray]
+    wS: jnp.ndarray          # (nsmall,) small-space sums (row sums of M_SI)
+    wI: jnp.ndarray          # (nice,)  ice-space sums  (col sums of M_SI)
+    nsmall: int
+    nice: int                # true (unpadded) ice extent
+    transposed: bool         # True if the logical matrix is (ice x small)
+
+    def tree_flatten(self):
+        return ((self.tiles, self.row_start, self.ov_rows, self.ov_cols,
+                 self.ov_vals, self.wS, self.wI),
+                (self.nsmall, self.nice, self.transposed))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch, *aux)
+
+    @property
+    def logical_shape(self):
+        return ((self.nice, self.nsmall) if self.transposed
+                else (self.nsmall, self.nice))
+
+    @property
+    def wM(self):
+        """Dest weights of the LOGICAL matrix."""
+        return self.wI if self.transposed else self.wS
+
+    @property
+    def Mw(self):
+        return self.wS if self.transposed else self.wI
+
+
+def bdt_from_weighted(M: WeightedMatrix, small_axis: str = "rows",
+                      max_tiles_per_block: Optional[int] = None,
+                      dtype=jnp.float32) -> BDTMatrix:
+    """Convert a WeightedMatrix to BDT.
+
+    small_axis: which LOGICAL axis is the small space -- "rows" (EvI/AvI
+    style) or "cols" (IvE/IvA style; stored transposed).
+    """
+    if small_axis == "rows":
+        s, i, v = M.rows, M.cols, M.vals
+        nsmall, nice = M.shape
+        transposed = False
+        wS, wI = M.wM, M.Mw
+    else:
+        s, i, v = M.cols, M.rows, M.vals
+        nice, nsmall = M.shape
+        transposed = True
+        wS, wI = M.Mw, M.wM
+
+    nblk = max(1, -(-nice // TILE_C))
+    blk = i // TILE_C
+    lane = i % TILE_C
+
+    # Aligned 8-row windows: window = row // 8.  Alignment costs at most ~2x
+    # the minimal (greedy) window count but makes assignment a pure key sort
+    # and keeps every dynamic sublane slice 8-aligned for Mosaic.
+    wrow = s // TILE_R
+    key = blk * (nsmall // TILE_R + 2) + wrow
+    order = np.argsort(key, kind="stable")
+    blk_s, s_s, lane_s, v_s, key_s = (blk[order], s[order], lane[order],
+                                      v[order], key[order])
+    head = np.ones(len(key_s), dtype=bool)
+    head[1:] = key_s[1:] != key_s[:-1]
+    win_id = np.cumsum(head) - 1
+    n_win = int(win_id[-1]) + 1 if len(win_id) else 0
+    win_blk = blk_s[head]
+    win_start = (s_s[head] // TILE_R) * TILE_R
+
+    # tiles per block, capped at T; excess windows spill to COO overflow.
+    tiles_in_blk = np.zeros(nblk, dtype=np.int64)
+    np.add.at(tiles_in_blk, win_blk, 1)
+    if max_tiles_per_block is None:
+        T = int(max(1, tiles_in_blk.max())) if n_win else 1
+        if n_win and T > 2 * max(1.0, tiles_in_blk[tiles_in_blk > 0].mean()):
+            T = int(np.ceil(2 * tiles_in_blk[tiles_in_blk > 0].mean()))
+    else:
+        T = max_tiles_per_block
+    slot_of_win = np.concatenate([[0], np.cumsum(tiles_in_blk)[:-1]])
+    win_slot = np.arange(n_win) - slot_of_win[win_blk]
+    keep_win = win_slot < T
+
+    keep_entry = keep_win[win_id]
+    tiles = np.zeros((nblk, T, TILE_R, TILE_C), dtype=np.float64)
+    row_start = np.zeros((nblk, T), dtype=np.int32)
+    e = keep_entry
+    tiles[blk_s[e], win_slot[win_id[e]], s_s[e] % TILE_R, lane_s[e]] += v_s[e]
+    row_start[win_blk[keep_win], win_slot[keep_win]] = win_start[keep_win]
+
+    ovr = ovc = ovv = None
+    if (~keep_entry).any():
+        o = ~keep_entry
+        rr, cc, vv = s_s[o], blk_s[o] * TILE_C + lane_s[o], v_s[o]
+        oo = np.argsort(rr, kind="stable")
+        ovr = jnp.asarray(rr[oo], jnp.int32)
+        ovc = jnp.asarray(cc[oo], jnp.int32)
+        ovv = jnp.asarray(vv[oo], dtype)
+
+    return BDTMatrix(
+        tiles=jnp.asarray(tiles, dtype),
+        row_start=jnp.asarray(row_start),
+        ov_rows=ovr, ov_cols=ovc, ov_vals=ovv,
+        wS=jnp.asarray(wS, dtype), wI=jnp.asarray(wI, dtype),
+        nsmall=int(nsmall), nice=int(nice), transposed=transposed)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def apply_bdt(bm: BDTMatrix, f, scale: bool = True,
+              var_factor: Optional[jnp.ndarray] = None,
+              var_offset: Optional[jnp.ndarray] = None,
+              fill=jnp.nan):
+    """Apply the LOGICAL matrix to f ((ncol,) or (nvar, ncol)); XLA path.
+
+    dest-small: tile matmuls against contiguous ice blocks, then a small
+    windowed scatter-add into the small space.  dest-ice: small windowed
+    gather, tile matmuls, contiguous ice-block writes.  Either way the ice
+    space is touched only in 128-lane streams.
+    """
+    single = f.ndim == 1
+    fv = (f[None, :] if single else f).astype(bm.tiles.dtype)
+    # Dense tiles multiply explicit zeros against arbitrary source entries,
+    # so non-finite source values (masked cells) must be zeroed first --
+    # 0 * NaN would otherwise contaminate neighbors.  Same convention as the
+    # coupler: NaN source means 'no contribution'.
+    fv = jnp.where(jnp.isfinite(fv), fv, 0.0)
+    nvar = fv.shape[0]
+    nblk, T = bm.row_start.shape
+    npad = nblk * TILE_C
+
+    win = bm.row_start[:, :, None] + jnp.arange(TILE_R)[None, None, :]
+
+    if not bm.transposed:
+        # dest = small, src = ice
+        fi = jnp.pad(fv, ((0, 0), (0, npad - bm.nice))).reshape(nvar, nblk,
+                                                                TILE_C)
+        # (nblk,T,8,128) x (v,nblk,128) -> (v,nblk,T,8)
+        # Precision.HIGHEST: TPU matmuls default to bf16 MXU passes (~5e-3
+        # error, observed); regrid weights need full f32 (~1e-7).  The extra
+        # MXU passes are free here -- the apply is bandwidth-bound.
+        prods = jnp.einsum("btrc,vbc->vbtr", bm.tiles, fi,
+                           preferred_element_type=bm.tiles.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+        out = jnp.zeros((nvar, bm.nsmall), bm.tiles.dtype)
+        out = out.at[:, win.reshape(-1)].add(
+            prods.reshape(nvar, -1), mode="drop")
+        if bm.ov_rows is not None:
+            g = jnp.take(fv, bm.ov_cols, axis=1) * bm.ov_vals[None, :]
+            out = out + jax.vmap(lambda c: jax.ops.segment_sum(
+                c, bm.ov_rows, num_segments=bm.nsmall,
+                indices_are_sorted=True))(g)
+    else:
+        # dest = ice, src = small
+        fwin = jnp.take(fv, win.reshape(-1), axis=1).reshape(
+            nvar, nblk, T, TILE_R)
+        out = jnp.einsum("btrc,vbtr->vbc", bm.tiles, fwin,
+                         preferred_element_type=bm.tiles.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        out = out.reshape(nvar, npad)[:, :bm.nice]
+        if bm.ov_rows is not None:
+            # overflow stored as (small row, ice col): here dest is ice col.
+            g = jnp.take(fv, bm.ov_rows, axis=1) * bm.ov_vals[None, :]
+            out = out + jax.vmap(lambda c: jax.ops.segment_sum(
+                c, bm.ov_cols, num_segments=bm.nice))(g)
+
+    if scale:
+        w = bm.wM
+        safe = jnp.where(w != 0, w, 1.0)
+        out = jnp.where(w[None, :] != 0, out / safe, fill)
+    if var_factor is not None:
+        out = out * var_factor[:, None]
+    if var_offset is not None:
+        out = out + var_offset[:, None]
+    return out[0] if single else out
