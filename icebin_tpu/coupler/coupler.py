@@ -1,0 +1,244 @@
+"""GCMCoupler: the per-step GCM<->ice coupling driver.
+
+Reference: ``GCMCoupler::couple(time, gcm_ovalsE, run_ice)`` gathers per-rank
+sparse E-grid fields to the MPI root, runs each sheet's ``IceCoupler``
+(densify, IvE apply, unit-convert, step PISM, harvest, EvI/AvI apply), then
+scatters results and updates TOPO in place (reference: ``slib/icebin/
+GCMCoupler.*``, ``IceCoupler.*`` [U]; SURVEY.md section 3.3).
+
+TPU-native re-design (deliberately different where the reference is weak):
+
+* NO root gather: fields are dense device arrays (sharded over the device
+  mesh at scale -- ``icebin_tpu.parallel``); matrix applies and the ice step
+  are jitted device computations; the host Python loop only sequences them.
+* Matrices regenerate when the ice surface changes (every ``regen_every``
+  steps); GCM-held EC state is remapped through E1vE0 at each regeneration.
+* Conservation is an active per-step feature: every apply is mass-repaired
+  in f64 (``coupler.ledger``) and every step posts an f64 account row.
+* Diagnostics parity: per-step field dumps (the reference's gcm-out /
+  gcm-in NetCDF observability story) via ``icebin_tpu.io``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icebin_tpu.coupler.e1ve0 import e1ve0_matrix
+from icebin_tpu.coupler.ledger import Ledger, repair_mass, weighted_mass
+from icebin_tpu.coupler.varset import (VarSet, ice_modele_output_contract,
+                                       ice_native_input_contract,
+                                       modele_ice_input_contract)
+from icebin_tpu.models.ice_sheet import (RHO_ICE, IceSheetConfig,
+                                         IceSheetState, init_state, step)
+from icebin_tpu.ops.bdt import bdt_from_weighted, apply_bdt
+from icebin_tpu.regrid.gcmregridder import GCMRegridder
+from icebin_tpu.regrid.matrices import RegridMatrices, RegridParams
+
+__all__ = ["CouplerConfig", "IceSheetCoupler", "GCMCoupler"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CouplerConfig:
+    dt: float = 86400.0 * 30      # coupling interval [s]
+    regen_every: int = 10         # rebuild matrices every N steps
+    min_thickness: float = 1.0    # m; below = ice-free for masking
+    params: RegridParams = RegridParams(scale=True, correctA=True)
+    repair: bool = True           # f64 mass repair on every apply
+    #: input fields that are extensive fluxes -- mass-repaired after the
+    #: IvE transport (intensive fields like temperature must NOT be).
+    repair_fields: tuple = ("smb_mass", "smb_enth", "heat_flux")
+    matrix_dtype: object = jnp.float32
+
+
+class IceSheetCoupler:
+    """One ice sheet's coupling state (reference ``IceCoupler`` [U])."""
+
+    def __init__(self, gr: GCMRegridder, sheet: str, cfg: CouplerConfig,
+                 ice_cfg: Optional[IceSheetConfig] = None,
+                 ice_state: Optional[IceSheetState] = None,
+                 contract_in: Optional[VarSet] = None,
+                 contract_in_ice: Optional[VarSet] = None,
+                 contract_out: Optional[VarSet] = None):
+        self.gr = gr
+        self.sheet = sheet
+        self.cfg = cfg
+        specI = gr.sheets[sheet].specI
+        dx = float(np.diff(specI.xb).mean())
+        dy = float(np.diff(specI.yb).mean())
+        self.ice_cfg = ice_cfg or IceSheetConfig(nx=specI.nx, ny=specI.ny,
+                                                 dx=dx, dy=dy)
+        self.state = ice_state if ice_state is not None else init_state(self.ice_cfg)
+        self.cell_area = dx * dy
+        self.contract_in = contract_in or modele_ice_input_contract()
+        self.contract_in_ice = contract_in_ice or ice_native_input_contract()
+        # init-time unit check (reference: contracts::setup aborts on
+        # dimension mismatch [U])
+        self._fac_in, self._off_in = self.contract_in.conversion_to(
+            self.contract_in_ice)
+        self.contract_out = contract_out or ice_modele_output_contract()
+        self.rm: Optional[RegridMatrices] = None
+        self._mats: Dict[str, object] = {}
+        self.steps_since_regen = 0
+        self.regen_matrices()
+
+    # -- matrix lifecycle --------------------------------------------------
+
+    def elevmask(self) -> np.ndarray:
+        return np.asarray(self.state.elevmask(self.cfg.min_thickness))
+
+    def regen_matrices(self) -> Optional[RegridMatrices]:
+        """(Re)build the matrix set from the current ice surface; returns the
+        PREVIOUS factory (for E1vE0) or None on first build."""
+        old = self.rm
+        self.rm = self.gr.regrid_matrices(self.sheet, self.elevmask())
+        self._mats = {}
+        for name, axis in (("IvE", "cols"), ("IvA", "cols"),
+                           ("EvI", "rows"), ("AvI", "rows")):
+            M = self.rm.matrix(name, self.cfg.params)
+            self._mats[name] = bdt_from_weighted(M, small_axis=axis,
+                                                 dtype=self.cfg.matrix_dtype)
+        self.steps_since_regen = 0
+        return old
+
+    def mat(self, name: str):
+        return self._mats[name]
+
+    def _apply(self, name: str, f, var_factor=None, var_offset=None):
+        bm = self._mats[name]
+        out = apply_bdt(bm, f, scale=True, var_factor=var_factor,
+                        var_offset=var_offset, fill=jnp.nan)
+        if self.cfg.repair and var_factor is None and var_offset is None:
+            m_src = weighted_mass(f, bm.Mw)
+            out2 = jnp.where(jnp.isfinite(out), out, 0.0)
+            out = repair_mass(out2[None] if out.ndim == 1 else out2,
+                              bm.wM, jnp.atleast_1d(m_src))
+            out = out[0] if f.ndim == 1 else out
+        return out
+
+    # -- one coupling step -------------------------------------------------
+
+    def couple(self, t: float, fE_in: jnp.ndarray, ledger: Ledger):
+        """fE_in: (n_contract_in, nE) GCM fields on the E grid, GCM units.
+        Returns dict with E/A-grid ice outputs and diagnostics."""
+        cfg = self.cfg
+        # 1. E -> I forcing transport (reference IceCoupler::couple IvE hot
+        #    path, fused with contract unit conversion).
+        fac, off = self._fac_in, self._off_in
+        bm_ive = self.mat("IvE")
+        fI = apply_bdt(bm_ive, fE_in, scale=True,
+                       var_factor=jnp.asarray(fac, fE_in.dtype),
+                       var_offset=jnp.asarray(off, fE_in.dtype), fill=jnp.nan)
+        fI64 = None
+        if cfg.repair:
+            # f64 mass repair of the extensive forcing fields; the f64
+            # repaired array feeds the LEDGER (conservation < 1e-10), the
+            # f32 downcast feeds the model (its quantization is booked in
+            # mass_residual).
+            idx = jnp.asarray([self.contract_in.index(n)
+                               for n in cfg.repair_fields])
+            src_conv = fE_in[idx] * jnp.asarray(fac, fE_in.dtype)[idx, None]
+            m_src = weighted_mass(src_conv, bm_ive.Mw)
+            sub = jnp.where(jnp.isfinite(fI[idx]), fI[idx], 0.0)
+            fI64 = repair_mass(sub, bm_ive.wM, m_src)
+            fI = fI.at[idx].set(
+                jnp.where(jnp.isfinite(fI[idx]),
+                          fI64.astype(fI.dtype), fI[idx]))
+        smbI = fI[self.contract_in.index("smb_mass")]
+        smbI = jnp.where(jnp.isfinite(smbI), smbI, 0.0)
+
+        # ledger: mass entering the ice sheet this step [kg]
+        k = self.contract_in.index("smb_mass")
+        m_in = weighted_mass(fE_in[k] * fac[k], bm_ive.Mw) * cfg.dt
+        mass0 = jnp.sum(self.state.H.astype(jnp.float64)
+                        if jax.config.jax_enable_x64
+                        else self.state.H) * self.cell_area * RHO_ICE
+        # Mass actually delivered, in the MATRIX measure (wM = covered
+        # plane area per ice cell), measured from the f64 repaired field so
+        # the books close to f64 round-off; the f32 field the model consumes
+        # differs by its quantization, which lands in mass_residual below.
+        areaI = self.cell_area
+        if fI64 is not None:
+            kk = list(self.cfg.repair_fields).index("smb_mass")
+            m_delivered = weighted_mass(fI64[kk], bm_ive.wM) * cfg.dt
+        else:
+            m_delivered = weighted_mass(smbI, bm_ive.wM) * cfg.dt
+
+        # 2. ice model step (reference: IceCoupler_PISM::run_timestep).
+        self.state = step(self.ice_cfg, self.state, smbI, cfg.dt)
+        mass1 = jnp.sum(self.state.H.astype(mass0.dtype)) * areaI * RHO_ICE
+
+        # 3. harvest outputs, regrid I -> E/A.
+        outI = self._ice_outputs()
+        fE_out = self._apply("EvI", outI)
+        fA_out = self._apply("AvI", outI)
+
+        row_t = float(self.state.t) if np.ndim(self.state.t) == 0 else t
+        ledger.post(f"{self.sheet}.mass_in_E", m_in)
+        ledger.post(f"{self.sheet}.mass_delivered_I", m_delivered)
+        ledger.post(f"{self.sheet}.ice_mass", mass1)
+        # residual: flux clamping + f32 field quantization + measure
+        # mismatch between matrix weights and model cell areas
+        m_del_f32 = weighted_mass(smbI, bm_ive.wM) * cfg.dt
+        ledger.post(f"{self.sheet}.mass_residual",
+                    float(mass1 - mass0 - m_del_f32)
+                    + float(m_del_f32 - m_delivered))
+
+        # 4. topo evolution: regenerate matrices + E1vE0 remap cadence.
+        self.steps_since_regen += 1
+        remap = None
+        if self.steps_since_regen >= cfg.regen_every:
+            old_rm = self.regen_matrices()
+            if old_rm is not None:
+                remap = e1ve0_matrix(old_rm, self.rm)
+        return {"fI": fI, "fE_out": fE_out, "fA_out": fA_out,
+                "E1vE0": remap,
+                "fhc": self.rm.fhc(), "elevE": self.rm.elevE()}
+
+    def _ice_outputs(self) -> jnp.ndarray:
+        """(n_contract_out, nI) fields in ice units (reference pism_out
+        harvest)."""
+        s = self.state
+        icy = s.H.reshape(-1) > self.cfg.min_thickness
+        elev = jnp.where(icy, s.surface.reshape(-1), jnp.nan)
+        thick = jnp.where(icy, s.H.reshape(-1), jnp.nan)
+        mask = icy.astype(s.H.dtype)
+        zeros = jnp.zeros_like(mask)
+        return jnp.stack([elev, thick, mask, zeros, zeros])
+
+
+class GCMCoupler:
+    """Multi-sheet coupling driver (reference ``GCMCoupler_ModelE`` minus the
+    Fortran marshalling, which lives in ``icebin_tpu.models.modele_adapter``)."""
+
+    def __init__(self, gr: GCMRegridder, cfg: CouplerConfig = CouplerConfig(),
+                 sheets: Optional[Dict[str, IceSheetCoupler]] = None):
+        self.gr = gr
+        self.cfg = cfg
+        self.sheets = sheets or {
+            name: IceSheetCoupler(gr, name, cfg) for name in gr.sheets}
+        self.ledger = Ledger()
+        self.time = 0.0
+
+    def couple(self, gcm_ovalsE: Dict[str, jnp.ndarray]):
+        """One coupling step for every sheet.  gcm_ovalsE maps sheet name ->
+        (n_in, nE) device array (reference ``couple(time, gcm_ovalsE,...)``)."""
+        self.ledger.open_step(self.time)
+        results = {}
+        for name, sc in self.sheets.items():
+            results[name] = sc.couple(self.time, gcm_ovalsE[name], self.ledger)
+        self.time += self.cfg.dt
+        return results
+
+    def run_transient(self, forcing_fn: Callable[[float, str], jnp.ndarray],
+                      n_steps: int):
+        """BASELINE config #4: N-step transient loop, conservation per step.
+        forcing_fn(t, sheet) -> (n_in, nE) E-grid forcing."""
+        out = None
+        for _ in range(n_steps):
+            fE = {name: forcing_fn(self.time, name) for name in self.sheets}
+            out = self.couple(fE)
+        return out

@@ -43,13 +43,21 @@ def repair_mass(out, wM, m_src):
     The correction is uniform per unit weight (each dest cell absorbs error
     proportional to its area), preserving field shape while pinning the
     integral.  Cells with zero weight are untouched.
+
+    Returns the repaired field in f64 (when x64 is enabled): the caller's
+    LEDGER must be fed from this array -- a downcast to f32 for the hot path
+    re-rounds at ~1e-7 relative, and that quantization belongs in the
+    booked residual, not in the conservation measure (north star < 1e-10 is
+    a property of the f64 account, with the f32 field noise explicitly
+    carried).
     """
     f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    m_dst = weighted_mass(out, wM)
+    out64 = out.astype(f64)
+    m_dst = weighted_mass(out64, wM)
     wtot = jnp.sum(wM.astype(f64))
     corr = (m_src.astype(f64) - m_dst) / jnp.where(wtot > 0, wtot, 1.0)
-    fixed = out + corr[:, None].astype(out.dtype)
-    return jnp.where((wM > 0)[None, :] & jnp.isfinite(out), fixed, out)
+    fixed = out64 + corr[:, None]
+    return jnp.where((wM > 0)[None, :] & jnp.isfinite(out64), fixed, out64)
 
 
 @dataclasses.dataclass

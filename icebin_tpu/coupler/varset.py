@@ -17,7 +17,7 @@ import numpy as np
 from icebin_tpu.coupler.units import convert_factor
 
 __all__ = ["VarMeta", "VarSet", "modele_ice_input_contract",
-           "ice_modele_output_contract"]
+           "ice_native_input_contract", "ice_modele_output_contract"]
 
 # flags (reference VarMeta flags [U])
 INITIAL = 1       # field must be provided at initialization
@@ -100,6 +100,18 @@ def modele_ice_input_contract() -> VarSet:
            cf_name="upward_heat_flux_at_ground_level_in_ice")
     vs.add("tsurf", "degC", "ice surface temperature",
            cf_name="surface_temperature")
+    return vs
+
+
+def ice_native_input_contract() -> VarSet:
+    """The ice model's native units for the same input fields -- the other
+    side of the contract pair; unit conversion factors are derived at
+    coupler init (reference: the PISM-side table in contracts [U])."""
+    vs = VarSet()
+    vs.add("smb_mass", "kg m-2 s-1", "surface mass balance")
+    vs.add("smb_enth", "W m-2", "SMB enthalpy flux")
+    vs.add("heat_flux", "W m-2", "surface heat flux")
+    vs.add("tsurf", "K", "ice surface temperature")
     return vs
 
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["IceSheetConfig", "IceSheetState", "init_state", "step",
-           "RHO_ICE", "GRAVITY"]
+           "sia_flux_div_ghosted", "RHO_ICE", "GRAVITY"]
 
 RHO_ICE = 910.0        # kg m-3
 GRAVITY = 9.81         # m s-2
@@ -107,38 +107,51 @@ def init_state(cfg: IceSheetConfig, bed=None, H0=None,
                          if jax.config.jax_enable_x64 else jnp.zeros((), jnp.float32))
 
 
-def _sia_flux_div(H, s, dx, dy):
-    """Flux-form SIA divergence: conservative by construction.
+def sia_flux_div_ghosted(Hg, sg, dx, dy):
+    """Flux-form SIA divergence on arrays carrying ONE ghost row on each
+    y-end (edge-replicated at physical boundaries, neighbor rows under
+    domain decomposition -- ``parallel.halo``).  Returns the divergence
+    cropped to the interior rows plus the max diffusivity for CFL.
 
-    Staggered-face diffusivities (arithmetic-mean H, centered grad s) and a
-    flux divergence whose interior face fluxes cancel pairwise, so
-    sum(div) == boundary flux == 0 with zero-gradient margins clamped."""
-    # east faces: between (j, i) and (j, i+1); shape (ny, nx-1)
-    He = 0.5 * (H[:, 1:] + H[:, :-1])
-    dsx = (s[:, 1:] - s[:, :-1]) / dx
-    # y-gradient on east faces (average of central diffs, clamped edges)
-    sy = jnp.gradient(s, axis=0) / dy
+    Conservative by construction: interior face fluxes cancel pairwise; the
+    edge-replicated ghosts make boundary-face fluxes zero.  Using ONE code
+    path for single-device and sharded execution guarantees the sharded
+    model is bit-equivalent in stencil shape (SURVEY.md section 4).
+    """
+    He = 0.5 * (Hg[:, 1:] + Hg[:, :-1])
+    dsx = (sg[:, 1:] - sg[:, :-1]) / dx
+    sy = jnp.gradient(sg, axis=0) / dy
     sye = 0.5 * (sy[:, 1:] + sy[:, :-1])
-    grad2_e = dsx ** 2 + sye ** 2
-    De = GAMMA * He ** (GLEN_N + 2) * grad2_e ** ((GLEN_N - 1) / 2)
-    qe = De * dsx                                    # flux east per unit width
+    De = GAMMA * He ** (GLEN_N + 2) * (dsx ** 2 + sye ** 2) ** ((GLEN_N - 1) / 2)
+    qe = De * dsx
 
-    Hn = 0.5 * (H[1:, :] + H[:-1, :])
-    dsy = (s[1:, :] - s[:-1, :]) / dy
-    sx = jnp.gradient(s, axis=1) / dx
+    Hn = 0.5 * (Hg[1:, :] + Hg[:-1, :])
+    dsy = (sg[1:, :] - sg[:-1, :]) / dy
+    sx = jnp.gradient(sg, axis=1) / dx
     sxn = 0.5 * (sx[1:, :] + sx[:-1, :])
-    grad2_n = dsy ** 2 + sxn ** 2
-    Dn = GAMMA * Hn ** (GLEN_N + 2) * grad2_n ** ((GLEN_N - 1) / 2)
+    Dn = GAMMA * Hn ** (GLEN_N + 2) * (dsy ** 2 + sxn ** 2) ** ((GLEN_N - 1) / 2)
     qn = Dn * dsy
 
-    div = jnp.zeros_like(H)
+    div = jnp.zeros_like(Hg)
     div = div.at[:, :-1].add(qe / dx)
     div = div.at[:, 1:].add(-qe / dx)
     div = div.at[:-1, :].add(qn / dy)
     div = div.at[1:, :].add(-qn / dy)
-    Dmax = jnp.maximum(jnp.max(De) if De.size else 0.0,
-                       jnp.max(Dn) if Dn.size else 0.0)
-    return div, Dmax
+    # CFL diffusivity: EXCLUDE ghost-row east faces (their y-cross-gradient
+    # is one-sided in the padded block and would differ between a shard and
+    # the global array); with the exclusion every face is counted exactly
+    # once across shards, so pmax(local Dmax) == global Dmax and the sharded
+    # trajectory is identical to single-device.
+    Dmax = jnp.maximum(jnp.max(De[1:-1, :]), jnp.max(Dn))
+    return div[1:-1, :], Dmax
+
+
+def _sia_flux_div(H, s, dx, dy):
+    """Single-device wrapper: edge-replicate one ghost row, then the shared
+    ghosted stencil."""
+    Hg = jnp.concatenate([H[:1], H, H[-1:]], axis=0)
+    sg = jnp.concatenate([s[:1], s, s[-1:]], axis=0)
+    return sia_flux_div_ghosted(Hg, sg, dx, dy)
 
 
 def step(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
@@ -150,7 +163,8 @@ def step(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
     using a static-bound ``lax.scan`` (jit-friendly: no data-dependent trip
     count; excess substeps are masked no-ops).
     """
-    smb = jnp.asarray(smb_flux).reshape(cfg.ny, cfg.nx) / RHO_ICE  # m/s ice
+    smb = (jnp.asarray(smb_flux).reshape(cfg.ny, cfg.nx) / RHO_ICE
+           ).astype(state.H.dtype)  # m/s ice equivalent
 
     def substep(carry, _):
         H, t_done = carry

@@ -42,7 +42,8 @@ import numpy as np
 
 from icebin_tpu.regrid.sparse import WeightedMatrix
 
-__all__ = ["BDTMatrix", "bdt_from_weighted", "apply_bdt"]
+__all__ = ["BDTMatrix", "bdt_from_weighted", "apply_bdt",
+           "tiles_dest_small_unscaled", "tiles_dest_ice_unscaled"]
 
 TILE_R = 8      # small-space rows per tile (sublane)
 TILE_C = 128    # ice cols per tile (lane)
@@ -163,6 +164,41 @@ def bdt_from_weighted(M: WeightedMatrix, small_axis: str = "rows",
         nsmall=int(nsmall), nice=int(nice), transposed=transposed)
 
 
+def tiles_dest_small_unscaled(tiles, row_start, fi_blocks, nsmall: int):
+    """Core dest-small contraction on raw arrays (shard_map-friendly: works
+    on a LOCAL slice of the block axis; caller psums partials).
+
+    tiles: (nblk, T, 8, 128); row_start: (nblk, T);
+    fi_blocks: (nvar, nblk, 128) ice values (NaN-free).
+    Returns (nvar, nsmall) unscaled integral sums.
+    """
+    nvar = fi_blocks.shape[0]
+    prods = jnp.einsum("btrc,vbc->vbtr", tiles, fi_blocks,
+                       preferred_element_type=tiles.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+    win = row_start[:, :, None] + jnp.arange(TILE_R)[None, None, :]
+    out = jnp.zeros((nvar, nsmall), tiles.dtype)
+    return out.at[:, win.reshape(-1)].add(prods.reshape(nvar, -1),
+                                          mode="drop")
+
+
+def tiles_dest_ice_unscaled(tiles, row_start, fsmall):
+    """Core dest-ice contraction on raw arrays.
+
+    fsmall: (nvar, nsmall) small-space values (NaN-free, replicated in the
+    sharded case).  Returns (nvar, nblk*128) unscaled sums.
+    """
+    nvar = fsmall.shape[0]
+    nblk, T = row_start.shape
+    win = row_start[:, :, None] + jnp.arange(TILE_R)[None, None, :]
+    fwin = jnp.take(fsmall, win.reshape(-1), axis=1).reshape(
+        nvar, nblk, T, TILE_R)
+    out = jnp.einsum("btrc,vbtr->vbc", tiles, fwin,
+                     preferred_element_type=tiles.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(nvar, nblk * TILE_C)
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def apply_bdt(bm: BDTMatrix, f, scale: bool = True,
               var_factor: Optional[jnp.ndarray] = None,
@@ -186,22 +222,11 @@ def apply_bdt(bm: BDTMatrix, f, scale: bool = True,
     nblk, T = bm.row_start.shape
     npad = nblk * TILE_C
 
-    win = bm.row_start[:, :, None] + jnp.arange(TILE_R)[None, None, :]
-
     if not bm.transposed:
         # dest = small, src = ice
         fi = jnp.pad(fv, ((0, 0), (0, npad - bm.nice))).reshape(nvar, nblk,
                                                                 TILE_C)
-        # (nblk,T,8,128) x (v,nblk,128) -> (v,nblk,T,8)
-        # Precision.HIGHEST: TPU matmuls default to bf16 MXU passes (~5e-3
-        # error, observed); regrid weights need full f32 (~1e-7).  The extra
-        # MXU passes are free here -- the apply is bandwidth-bound.
-        prods = jnp.einsum("btrc,vbc->vbtr", bm.tiles, fi,
-                           preferred_element_type=bm.tiles.dtype,
-                           precision=jax.lax.Precision.HIGHEST)
-        out = jnp.zeros((nvar, bm.nsmall), bm.tiles.dtype)
-        out = out.at[:, win.reshape(-1)].add(
-            prods.reshape(nvar, -1), mode="drop")
+        out = tiles_dest_small_unscaled(bm.tiles, bm.row_start, fi, bm.nsmall)
         if bm.ov_rows is not None:
             g = jnp.take(fv, bm.ov_cols, axis=1) * bm.ov_vals[None, :]
             out = out + jax.vmap(lambda c: jax.ops.segment_sum(
@@ -209,12 +234,7 @@ def apply_bdt(bm: BDTMatrix, f, scale: bool = True,
                 indices_are_sorted=True))(g)
     else:
         # dest = ice, src = small
-        fwin = jnp.take(fv, win.reshape(-1), axis=1).reshape(
-            nvar, nblk, T, TILE_R)
-        out = jnp.einsum("btrc,vbtr->vbc", bm.tiles, fwin,
-                         preferred_element_type=bm.tiles.dtype,
-                         precision=jax.lax.Precision.HIGHEST)
-        out = out.reshape(nvar, npad)[:, :bm.nice]
+        out = tiles_dest_ice_unscaled(bm.tiles, bm.row_start, fv)[:, :bm.nice]
         if bm.ov_rows is not None:
             # overflow stored as (small row, ice col): here dest is ice col.
             g = jnp.take(fv, bm.ov_rows, axis=1) * bm.ov_vals[None, :]

@@ -65,11 +65,13 @@ class GCMRegridder:
 
     @property
     def indexingE(self) -> Indexing:
-        """E flat index = ihc * nA + a: (lon, lat, ihc) with ihc slowest --
-        the ModelE (i, j, ihc) Fortran layout (reference ``indexingHC`` [U])."""
+        """E flat index = a * nhc + ihc (a-major; see
+        ``regrid.matrices`` docstring).  ModelE's ihc-major (i, j, ihc)
+        ordering (reference ``indexingHC`` [U]) is obtained by permutation in
+        ``models.modele_adapter``."""
         nlon, nlat = self.specA.shape
-        return Indexing.f_order((nlon, nlat, self.nhc),
-                                names=("lon", "lat", "hc"))
+        return Indexing.f_order((self.nhc, nlon, nlat),
+                                names=("hc", "lon", "lat"))
 
     def _areaA_proj_for(self, specI: GridSpecXY) -> np.ndarray:
         """Projected-plane area of each full A cell under the sheet's

@@ -18,7 +18,10 @@ Mathematical semantics (documented invariants, enforced by tests):
 * Elevation classes: ice cell i with elevation eps_i splits linearly between
   the bracketing class boundaries ``hcdefs[k] <= eps_i < hcdefs[k+1]``:
   weights (1-t, t) on E cells (a, k), (a, k+1); clamped outside the range.
-  E flat index = ihc * nA + a (ihc-major, ModelE (i,j,ihc) Fortran layout).
+  E flat index = a * nhc + ihc (a-major: an A cell's elevation classes are
+  ADJACENT, which is what gives the BDT apply its small-window locality;
+  ModelE's (i,j,ihc) ihc-major layout is a fixed permutation applied at the
+  ModelE adapter boundary -- ``models.modele_adapter``).
 * Unscaled M entries are overlap areas (times EC split weights); ``correctA``
   multiplies the A-side factor by c_a = native_area_a / projected_area_a so
   weights measure true spherical area instead of plane area.
@@ -105,6 +108,9 @@ class RegridMatrices:
         # Mask: keep exchange cells over iced cells only.
         icy = np.isfinite(self.elevmaskI)
         keep = icy[xg.iI]
+        #: indices into the (unmasked) exchange grid of the kept cells --
+        #: the correspondence E1vE0 uses to match old/new EC splits.
+        self.xg_index = np.nonzero(keep)[0]
         self.iA = xg.iA[keep]
         self.iI = xg.iI[keep]
         self.o = xg.area[keep]
@@ -116,8 +122,8 @@ class RegridMatrices:
         # Elevation-class split per (kept) exchange cell.
         elev_x = self.elevmaskI[self.iI]
         k0, k1, w0, w1 = elevation_class_split(elev_x, self.hcdefs)
-        self.iE0 = k0 * self.nA + self.iA
-        self.iE1 = k1 * self.nA + self.iA
+        self.iE0 = self.iA * self.nhc + k0
+        self.iE1 = self.iA * self.nhc + k1
         self.wE0 = w0
         self.wE1 = w1
 
@@ -201,7 +207,7 @@ class RegridMatrices:
         wA = np.zeros(self.nA)
         np.add.at(wA, self.iA, self.o)
         with np.errstate(invalid="ignore", divide="ignore"):
-            f = w.reshape(self.nhc, self.nA) / np.where(wA > 0, wA, 1.0)
+            f = w.reshape(self.nA, self.nhc).T / np.where(wA > 0, wA, 1.0)
         return np.where(wA[None, :] > 0, f, 0.0)
 
     def elevE(self) -> np.ndarray:
@@ -215,4 +221,4 @@ class RegridMatrices:
         np.add.at(we, self.iE1, self.o * self.wE1 * elev_x)
         with np.errstate(invalid="ignore", divide="ignore"):
             e = we / np.where(w > 0, w, 1.0)
-        return np.where(w > 0, e, np.nan).reshape(self.nhc, self.nA)
+        return np.where(w > 0, e, np.nan).reshape(self.nA, self.nhc).T

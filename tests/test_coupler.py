@@ -1,0 +1,160 @@
+"""Coupling runtime: transient loop with per-step conservation (config #4).
+
+Oracles: the f64 ledger must close (E-grid inflow == ice-grid delivery to
+< 1e-10 rel; ice store change == delivery + flux/clamp residual), E1vE0 must
+preserve EC-state mass across matrix regeneration, and the ice model itself
+must conserve mass under zero SMB."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler
+from icebin_tpu.coupler.e1ve0 import e1ve0_matrix
+from icebin_tpu.coupler.units import UnitError, convert_factor, parse_unit
+from icebin_tpu.coupler.varset import (ice_native_input_contract,
+                                       modele_ice_input_contract)
+from icebin_tpu.models.ice_sheet import (RHO_ICE, IceSheetConfig, init_state,
+                                         step)
+from icebin_tpu.regrid.gcmregridder import GCMRegridder
+
+from helpers import toy_grids
+
+
+def test_units():
+    f, o = convert_factor("kg m-2 s-1", "kg m-2 s-1")
+    assert (f, o) == (1.0, 0.0)
+    f, o = convert_factor("degC", "K")
+    assert (f, o) == (1.0, 273.15)
+    f, o = convert_factor("m/yr", "m s-1")
+    np.testing.assert_allclose(f, 1.0 / (365.2425 * 86400))
+    f, o = convert_factor("W/m^2", "W m-2")
+    assert (f, o) == (1.0, 0.0)
+    with pytest.raises(UnitError):
+        convert_factor("kg", "m")
+    assert parse_unit("J s-1 m-2").dims == parse_unit("W m-2").dims
+
+
+def test_contract_conversion_vectors():
+    fac, off = modele_ice_input_contract().conversion_to(
+        ice_native_input_contract())
+    np.testing.assert_allclose(fac, [1, 1, 1, 1])
+    np.testing.assert_allclose(off, [0, 0, 0, 273.15])
+
+
+def test_ice_model_mass_conservation():
+    """Zero SMB: SIA flux form conserves total mass to round-off."""
+    cfg = IceSheetConfig(nx=48, ny=48, dx=20e3, dy=20e3)
+    st = init_state(cfg, dome_height=2500.0)
+    m0 = float(st.mass(cfg.dx * cfg.dy))
+    for _ in range(5):
+        st = step(cfg, st, jnp.zeros(cfg.nx * cfg.ny), dt=86400.0 * 360)
+    m1 = float(st.mass(cfg.dx * cfg.dy))
+    assert abs(m1 - m0) / m0 < 1e-12
+    # the dome actually flowed (diffusion happened)
+    assert float(st.H.max()) < 2500.0 - 1e-3
+
+
+def test_ice_model_smb_forcing():
+    """SMB onto bare ground accumulates exactly (f64 accounting from zero
+    initial ice, so f32 state rounding cannot mask the balance)."""
+    cfg = IceSheetConfig(nx=32, ny=32, dx=20e3, dy=20e3)
+    st = init_state(cfg, dome_height=0.0)
+    smb = np.full(cfg.nx * cfg.ny, 0.5 / (365.2425 * 86400) * RHO_ICE)  # .5 m/yr
+    dt = 86400.0 * 36
+    st = step(cfg, st, jnp.asarray(smb), dt=dt)
+    m1 = np.asarray(st.H, dtype=np.float64).sum() * cfg.dx * cfg.dy * RHO_ICE
+    expect = smb.sum() * cfg.dx * cfg.dy * dt
+    np.testing.assert_allclose(m1, expect, rtol=1e-6)  # f32 state precision
+
+
+def make_coupler(n_ice=40, regen_every=5):
+    """Metric toy: PlateCarree scaled to ~25 km/deg so the ice plane, the
+    matrix measure, and the SIA model all share one metre-based geometry."""
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+    scale = 25e3
+    specA = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, 7),
+                           latb=np.linspace(30.0, 80.0, 7))
+    specI = GridSpecXY(xb=np.linspace(0.0, 40.0 * scale, n_ice + 1),
+                       yb=np.linspace(30.0 * scale, 80.0 * scale, n_ice + 1),
+                       projection=PlateCarree(scale=scale))
+    gr = GCMRegridder(specA, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3000.0])
+    gr.add_sheet("toy", specI, subdiv=1)
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=regen_every,
+                        matrix_dtype=jnp.float64)
+    return GCMCoupler(gr, cfg)
+
+
+def forcing(t, sheet, nE=None, n_in=4, coupler=None):
+    nE = coupler.gr.nE
+    rng = np.random.default_rng(int(t) % 100003)
+    f = np.zeros((4, nE))
+    f[0] = 1e-5 * rng.uniform(0.5, 1.0, nE)      # smb kg m-2 s-1
+    f[1] = 5.0
+    f[2] = 2.0
+    f[3] = -10.0                                  # degC
+    return jnp.asarray(f)
+
+
+def test_transient_loop_conservation():
+    """20-step transient: E->I transport conserves < 1e-10 per step and the
+    ice store closes against delivery + residual."""
+    cp = make_coupler()
+    cp.run_transient(lambda t, s: forcing(t, s, coupler=cp), 20)
+    rows = cp.ledger.to_rows()
+    assert len(rows) == 20
+    prev_mass = None
+    for r in rows:
+        m_in = r["toy.mass_in_E"]
+        m_del = r["toy.mass_delivered_I"]
+        assert abs(m_in - m_del) / abs(m_in) < 1e-10   # north star
+        if prev_mass is not None:
+            lhs = r["toy.ice_mass"] - prev_mass
+            rhs = m_del + r["toy.mass_residual"]
+            scale = max(abs(r["toy.ice_mass"]), abs(m_del))
+            assert abs(lhs - rhs) / scale < 1e-12
+        prev_mass = r["toy.ice_mass"]
+
+
+def test_outputs_and_fhc():
+    cp = make_coupler()
+    out = cp.couple({"toy": forcing(0.0, "toy", coupler=cp)})["toy"]
+    fhc = out["fhc"]
+    s = fhc.sum(axis=0)
+    np.testing.assert_allclose(s[s > 0], 1.0, rtol=1e-12)
+    fE = np.asarray(out["fE_out"])
+    # elevation output regridded to E: values within ice surface range
+    elev_row = fE[0]
+    ok = np.isfinite(elev_row)
+    assert ok.any()
+    H = np.asarray(cp.sheets["toy"].state.surface)
+    assert elev_row[ok].min() >= 0.0 - 1e-6
+    assert elev_row[ok].max() <= H.max() + 1e-6
+
+
+def test_e1ve0_mass_preservation():
+    """EC-state remap across a topo change preserves mass for shared cells."""
+    cp = make_coupler(regen_every=3)
+    sc = cp.sheets["toy"]
+    rm_old = sc.rm
+    # run enough steps to trigger regeneration (the dome evolves)
+    res = cp.run_transient(lambda t, s: forcing(t, s, coupler=cp), 3)
+    remap = res["toy"]["E1vE0"]
+    assert remap is not None
+    # extensive state on old basis: uniform 1 kg/m2 -> remap -> mass equal
+    f0 = np.ones(remap.shape[1])
+    f1 = remap.apply(f0, scale=True)
+    m0 = np.sum(f0 * remap.Mw)
+    m1 = np.sum(np.where(np.isfinite(f1), f1, 0.0) * remap.wM)
+    np.testing.assert_allclose(m1, m0, rtol=1e-12)
+    # constant field preserved
+    ok = np.isfinite(f1)
+    np.testing.assert_allclose(f1[ok], 1.0, rtol=1e-12)
+
+
+def test_contract_mismatch_raises():
+    from icebin_tpu.coupler.varset import VarSet
+    a = VarSet().add("x", "kg")
+    b = VarSet().add("x", "m")
+    with pytest.raises(UnitError):
+        a.conversion_to(b)
