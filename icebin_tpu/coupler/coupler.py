@@ -90,11 +90,17 @@ class IceSheetCoupler:
     def elevmask(self) -> np.ndarray:
         return np.asarray(self.state.elevmask(self.cfg.min_thickness))
 
-    def regen_matrices(self) -> Optional[RegridMatrices]:
-        """(Re)build the matrix set from the current ice surface; returns the
-        PREVIOUS factory (for E1vE0) or None on first build."""
+    def regen_matrices(self, elevmask=None) -> Optional[RegridMatrices]:
+        """(Re)build the matrix set from the current ice surface (or an
+        explicit elevmask -- checkpoint resume restores the exact matrix
+        vintage); returns the PREVIOUS factory (for E1vE0) or None."""
         old = self.rm
-        self.rm = self.gr.regrid_matrices(self.sheet, self.elevmask())
+        if elevmask is None:
+            elevmask = self.elevmask()
+        #: the mask the ACTIVE matrices were built from (checkpointed so a
+        #: resumed run reproduces the same matrix vintage bit-for-bit)
+        self.regen_elevmask = np.asarray(elevmask)
+        self.rm = self.gr.regrid_matrices(self.sheet, elevmask)
         self._mats = {}
         for name, axis in (("IvE", "cols"), ("IvA", "cols"),
                            ("EvI", "rows"), ("AvI", "rows")):
