@@ -137,3 +137,43 @@ def test_jax_engine_matches_oracle():
     a_j, c_j = clip_areas_centroids(jnp.asarray(polys), jnp.asarray(rects))
     np.testing.assert_allclose(np.asarray(a_j), a_np, atol=1e-13)
     np.testing.assert_allclose(np.asarray(c_j), c_np, atol=1e-12)
+
+
+def test_pallas_kernel_matches_oracle():
+    """Pallas TPU kernel (interpret mode on CPU) vs the f64 oracle."""
+    import jax.numpy as jnp
+    from icebin_tpu.ops.pallas_clip import clip_areas_centroids_pallas
+
+    rng = np.random.default_rng(5)
+    B, V = 256, 8
+    polys = np.zeros((B, V, 2))
+    for b in range(B):
+        n = rng.integers(3, 8)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.2, 1.5)
+        polys[b] = pad_poly(np.stack([r * np.cos(ang), r * np.sin(ang)], -1), V)
+    h = rng.uniform(0.1, 1.0, (B, 2))
+    rects = np.stack([-h[:, 0], -h[:, 1], h[:, 0], h[:, 1]], -1)
+    a_np = polygon_areas(clip_polys_rects(polys, rects))
+    c_np = polygon_centroids(clip_polys_rects(polys, rects))
+    a, c = clip_areas_centroids_pallas(jnp.asarray(polys), jnp.asarray(rects))
+    np.testing.assert_allclose(np.asarray(a), a_np, atol=2e-5)
+    # centroids of tiny slivers amplify f32 noise (divide by 6*area); they
+    # only feed smoother distances, so test at meaningful areas
+    nz = np.abs(a_np) > 1e-4
+    np.testing.assert_allclose(np.asarray(c)[nz], c_np[nz], atol=1e-3)
+
+
+def test_pallas_engine_end_to_end_exchange():
+    """engine='pallas' through make_exchange_grid (V0 padding, repair)."""
+    from icebin_tpu.grid.exchange import make_exchange_grid
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+
+    specA = GridSpecLonLat(lonb=np.linspace(0, 40, 9),
+                           latb=np.linspace(30, 80, 11))
+    specI = GridSpecXY(xb=np.linspace(0, 40, 51), yb=np.linspace(30, 80, 51),
+                       projection=PlateCarree())
+    xg = make_exchange_grid(specA, specI, subdiv=1, engine="pallas")
+    np.testing.assert_allclose(xg.area_sums_I(), specI.cell_areas(),
+                               rtol=1e-12)
