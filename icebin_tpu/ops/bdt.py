@@ -52,7 +52,16 @@ TILE_C = 128    # ice cols per tile (lane)
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BDTMatrix:
-    """Canonical (small x ice) block-dense-tile matrix on device."""
+    """Canonical (small x ice) block-dense-tile matrix on device.
+
+    ``scat_onehot``/``scat_base`` (optional) replace the dest-small windowed
+    scatter-add with a *banded one-hot matmul*: TPU scatter runs at ~1.5 G
+    elem/s (83% of apply time, measured), but the scatter pattern is fixed
+    at build time, so tiles are chunked along the block order (spatially
+    local, so each chunk's windows span a narrow band of the small space)
+    and a bf16 one-hot (nchunk, band, chunk) matrix turns the scatter into
+    an MXU contraction plus a tiny per-chunk banded add.
+    """
 
     tiles: jnp.ndarray       # (nblk, T, 8, 128) f32
     row_start: jnp.ndarray   # (nblk, T) int32 (0 where tile is empty/padding)
@@ -61,13 +70,16 @@ class BDTMatrix:
     ov_vals: Optional[jnp.ndarray]
     wS: jnp.ndarray          # (nsmall,) small-space sums (row sums of M_SI)
     wI: jnp.ndarray          # (nice,)  ice-space sums  (col sums of M_SI)
+    scat_onehot: Optional[jnp.ndarray]  # (nchunk, band, chunk) bf16 or None
+    scat_base: Optional[jnp.ndarray]    # (nchunk,) int32 first small row
     nsmall: int
     nice: int                # true (unpadded) ice extent
     transposed: bool         # True if the logical matrix is (ice x small)
 
     def tree_flatten(self):
         return ((self.tiles, self.row_start, self.ov_rows, self.ov_cols,
-                 self.ov_vals, self.wS, self.wI),
+                 self.ov_vals, self.wS, self.wI, self.scat_onehot,
+                 self.scat_base),
                 (self.nsmall, self.nice, self.transposed))
 
     @classmethod
@@ -143,9 +155,23 @@ def bdt_from_weighted(M: WeightedMatrix, small_axis: str = "rows",
     keep_entry = keep_win[win_id]
     tiles = np.zeros((nblk, T, TILE_R, TILE_C), dtype=np.float64)
     row_start = np.zeros((nblk, T), dtype=np.int32)
+    real = np.zeros((nblk, T), dtype=bool)
     e = keep_entry
     tiles[blk_s[e], win_slot[win_id[e]], s_s[e] % TILE_R, lane_s[e]] += v_s[e]
     row_start[win_blk[keep_win], win_slot[keep_win]] = win_start[keep_win]
+    real[win_blk[keep_win], win_slot[keep_win]] = True
+    # Empty tile slots are all-zero, so their window placement is arbitrary;
+    # fill them from the nearest real neighbor so chunk BANDS (see
+    # _build_scatter_band) stay narrow instead of stretching to row 0.
+    flat_rs = row_start.reshape(-1)
+    flat_real = real.reshape(-1)
+    if flat_real.any() and not flat_real.all():
+        idx = np.where(flat_real, np.arange(flat_rs.size), -1)
+        idx = np.maximum.accumulate(idx)
+        first = np.argmax(flat_real)
+        idx = np.where(idx < 0, first, idx)
+        flat_rs = flat_rs[idx]
+        row_start = flat_rs.reshape(nblk, T).astype(np.int32)
 
     ovr = ovc = ovv = None
     if (~keep_entry).any():
@@ -156,30 +182,83 @@ def bdt_from_weighted(M: WeightedMatrix, small_axis: str = "rows",
         ovc = jnp.asarray(cc[oo], jnp.int32)
         ovv = jnp.asarray(vv[oo], dtype)
 
+    onehot, base = (None, None)
+    if not transposed:
+        onehot, base = _build_scatter_band(row_start, int(nsmall))
     return BDTMatrix(
         tiles=jnp.asarray(tiles, dtype),
         row_start=jnp.asarray(row_start),
         ov_rows=ovr, ov_cols=ovc, ov_vals=ovv,
         wS=jnp.asarray(wS, dtype), wI=jnp.asarray(wI, dtype),
+        scat_onehot=onehot, scat_base=base,
         nsmall=int(nsmall), nice=int(nice), transposed=transposed)
 
 
-def tiles_dest_small_unscaled(tiles, row_start, fi_blocks, nsmall: int):
+SCAT_CHUNK = 512        # tiles per scatter chunk
+SCAT_MAX_BAND = 1024    # max window slots per chunk band (else scatter path)
+
+
+def _build_scatter_band(row_start: np.ndarray, nsmall: int):
+    """Banded one-hot replacing the dest-small scatter (see class docstring).
+
+    Returns (onehot (nch, W8, C) f32 jnp, base (nch,) int32 jnp) or
+    (None, None) when a chunk's window spread exceeds SCAT_MAX_BAND (the
+    apply then falls back to the plain scatter-add).
+    """
+    rs = row_start.reshape(-1).astype(np.int64)
+    N = rs.size
+    C = SCAT_CHUNK
+    nch = -(-N // C)
+    rs_p = np.concatenate([rs, np.full(nch * C - N, rs[-1] if N else 0)])
+    slots = rs_p // TILE_R
+    sl = slots.reshape(nch, C)
+    smin = sl.min(axis=1)
+    smax = sl.max(axis=1)
+    W8 = int((smax - smin).max()) + 1
+    W8 = -(-W8 // 8) * 8                       # sublane-align the band
+    if W8 > SCAT_MAX_BAND:
+        return None, None
+    onehot = np.zeros((nch, W8, C), dtype=np.float32)
+    ch = np.repeat(np.arange(nch), C)
+    onehot[ch, (sl - smin[:, None]).reshape(-1), np.tile(np.arange(C), nch)] = 1.0
+    return (jnp.asarray(onehot),
+            jnp.asarray((smin * TILE_R).astype(np.int32)))
+
+
+def tiles_dest_small_unscaled(tiles, row_start, fi_blocks, nsmall: int,
+                              scat_onehot=None, scat_base=None):
     """Core dest-small contraction on raw arrays (shard_map-friendly: works
     on a LOCAL slice of the block axis; caller psums partials).
 
     tiles: (nblk, T, 8, 128); row_start: (nblk, T);
     fi_blocks: (nvar, nblk, 128) ice values (NaN-free).
-    Returns (nvar, nsmall) unscaled integral sums.
+    Returns (nvar, nsmall) unscaled integral sums.  With
+    ``scat_onehot``/``scat_base`` the window scatter runs as a banded MXU
+    contraction (measured 83% of apply time as a plain scatter).
     """
     nvar = fi_blocks.shape[0]
     prods = jnp.einsum("btrc,vbc->vbtr", tiles, fi_blocks,
                        preferred_element_type=tiles.dtype,
                        precision=jax.lax.Precision.HIGHEST)
-    win = row_start[:, :, None] + jnp.arange(TILE_R)[None, None, :]
+    if scat_onehot is None:
+        win = row_start[:, :, None] + jnp.arange(TILE_R)[None, None, :]
+        out = jnp.zeros((nvar, nsmall), tiles.dtype)
+        return out.at[:, win.reshape(-1)].add(prods.reshape(nvar, -1),
+                                              mode="drop")
+    nch, W8, C = scat_onehot.shape
+    N = prods.shape[1] * prods.shape[2]
+    p2 = prods.transpose(1, 2, 3, 0).reshape(N, TILE_R * nvar)
+    p2 = jnp.pad(p2, ((0, nch * C - N), (0, 0)))
+    p2 = p2.reshape(nch, C, TILE_R * nvar)
+    band = jnp.einsum("nwc,ncd->nwd", scat_onehot.astype(tiles.dtype), p2,
+                      preferred_element_type=tiles.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+    band = band.reshape(nch, W8, TILE_R, nvar)
+    ids = (scat_base[:, None] + jnp.arange(W8 * TILE_R)[None, :]
+           ).reshape(-1)                      # (nch*W8*8,) absolute rows
+    vals = band.reshape(nch, W8 * TILE_R, nvar).reshape(-1, nvar).T
     out = jnp.zeros((nvar, nsmall), tiles.dtype)
-    return out.at[:, win.reshape(-1)].add(prods.reshape(nvar, -1),
-                                          mode="drop")
+    return out.at[:, ids].add(vals, mode="drop")
 
 
 def tiles_dest_ice_unscaled(tiles, row_start, fsmall):
@@ -226,7 +305,9 @@ def apply_bdt(bm: BDTMatrix, f, scale: bool = True,
         # dest = small, src = ice
         fi = jnp.pad(fv, ((0, 0), (0, npad - bm.nice))).reshape(nvar, nblk,
                                                                 TILE_C)
-        out = tiles_dest_small_unscaled(bm.tiles, bm.row_start, fi, bm.nsmall)
+        out = tiles_dest_small_unscaled(bm.tiles, bm.row_start, fi,
+                                        bm.nsmall, bm.scat_onehot,
+                                        bm.scat_base)
         if bm.ov_rows is not None:
             g = jnp.take(fv, bm.ov_cols, axis=1) * bm.ov_vals[None, :]
             out = out + jax.vmap(lambda c: jax.ops.segment_sum(
