@@ -21,8 +21,8 @@ def main(argv=None) -> int:
     ap.add_argument("gridI")
     ap.add_argument("out")
     ap.add_argument("--subdiv", type=int, default=2)
-    ap.add_argument("--engine", default="numpy",
-                    choices=["numpy", "jax", "pallas"])
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "numpy", "native", "jax", "pallas"])
     ap.add_argument("--no-repair", action="store_true")
     args = ap.parse_args(argv)
 

@@ -162,14 +162,15 @@ def _clip_areas_numpy(polys, rects):
     return polygon_areas(rings), polygon_centroids(rings)
 
 
-def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "numpy",
+def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
                        repair: bool = True, chunk: int = 1 << 18,
                        min_area_frac: float = 1e-13,
                        coverage_tol: float = 1e-3) -> ExchangeGrid:
     """Build the exchange grid between a lat-lon GCM grid and an XY ice grid.
 
-    engine: 'numpy' (f64 oracle), 'jax' (XLA, vmapped), or 'pallas' (TPU
-    kernel); all run the same clipping data flow.  ``repair`` rescales each
+    engine: 'auto' (native C++ if built, else numpy), 'numpy' (f64 oracle),
+    'native' (C++ OpenMP host engine), 'jax' (XLA, vmapped), or 'pallas'
+    (TPU kernel); all run the same clipping data flow.  ``repair`` rescales each
     ice cell's overlaps so they sum exactly to the cell area whenever the raw
     sum is already within ``coverage_tol`` of full coverage (cells at an open
     A-domain boundary are left as measured).
@@ -189,8 +190,14 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "numpy",
     rectsI = specI.cell_rects()                         # (nI, 4) f64
     areasI = specI.cell_areas()
 
+    if engine == "auto":
+        from icebin_tpu.ops import native
+        engine = "native" if native.available() else "numpy"
     if engine == "numpy":
         clip_fn = _clip_areas_numpy
+    elif engine == "native":
+        from icebin_tpu.ops.native import clip_areas_centroids_native
+        clip_fn = clip_areas_centroids_native
     elif engine in ("jax", "pallas"):
         from icebin_tpu.ops.clip import make_clip_engine
         clip_fn = make_clip_engine(engine)

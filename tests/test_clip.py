@@ -177,3 +177,53 @@ def test_pallas_engine_end_to_end_exchange():
     xg = make_exchange_grid(specA, specI, subdiv=1, engine="pallas")
     np.testing.assert_allclose(xg.area_sums_I(), specI.cell_areas(),
                                rtol=1e-12)
+
+
+def test_native_engine_matches_oracle():
+    """C++ host engine (native/clip.cc) vs the f64 numpy oracle, exact."""
+    from icebin_tpu.ops import native
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    B, V = 4096, 8
+    ang = np.sort(rng.uniform(0, 2 * np.pi, (B, V)), axis=1)
+    r = rng.uniform(0.2, 1.5, (B, 1))
+    polys = np.stack([r * np.cos(ang), r * np.sin(ang)], -1)
+    rects = np.stack([rng.uniform(-1, 0, B), rng.uniform(-1, 0, B),
+                      rng.uniform(0.1, 1, B), rng.uniform(0.1, 1, B)], -1)
+    a1, c1 = native.clip_areas_centroids_native(polys, rects)
+    a2 = polygon_areas(clip_polys_rects(polys, rects))
+    c2 = polygon_centroids(clip_polys_rects(polys, rects))
+    np.testing.assert_allclose(a1, a2, atol=1e-13)
+    nz = np.abs(a2) > 1e-10
+    np.testing.assert_allclose(c1[nz], c2[nz], atol=1e-10)
+
+
+def test_native_engine_end_to_end_exchange():
+    from icebin_tpu.ops import native
+    if not native.available():
+        pytest.skip("native library not built")
+    from icebin_tpu.grid.exchange import make_exchange_grid
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+
+    specA = GridSpecLonLat(lonb=np.linspace(0, 40, 9),
+                           latb=np.linspace(30, 80, 11))
+    specI = GridSpecXY(xb=np.linspace(0, 40, 101), yb=np.linspace(30, 80, 101),
+                       projection=PlateCarree())
+    xg_n = make_exchange_grid(specA, specI, subdiv=1, engine="native")
+    xg_o = make_exchange_grid(specA, specI, subdiv=1, engine="numpy")
+    np.testing.assert_array_equal(xg_n.iA, xg_o.iA)
+    np.testing.assert_array_equal(xg_n.iI, xg_o.iI)
+    np.testing.assert_allclose(xg_n.area, xg_o.area, rtol=1e-14)
+
+
+def test_native_coo_sum():
+    from icebin_tpu.ops import native
+    if not native.available():
+        pytest.skip("native library not built")
+    r, c, v = native.coo_sum_sorted([0, 0, 1, 2, 2], [1, 1, 0, 3, 3],
+                                    [1.0, 2.0, 3.0, 4.0, 5.0])
+    assert r.tolist() == [0, 1, 2]
+    assert c.tolist() == [1, 0, 3]
+    assert v.tolist() == [3.0, 3.0, 9.0]
