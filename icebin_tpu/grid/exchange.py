@@ -192,7 +192,8 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
 
     if engine == "auto":
         from icebin_tpu.ops import native
-        engine = "native" if native.available() else "numpy"
+        engine = ("native" if native.available() and 4 * subdiv <= 64
+                  else "numpy")
     if engine == "numpy":
         clip_fn = _clip_areas_numpy
     elif engine == "native":

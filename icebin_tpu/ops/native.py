@@ -69,7 +69,7 @@ def clip_areas_centroids_native(polys: np.ndarray, rects: np.ndarray):
     polys = np.ascontiguousarray(polys, dtype=np.float64)
     rects = np.ascontiguousarray(rects, dtype=np.float64)
     n, v0 = polys.shape[0], polys.shape[1]
-    if 16 * v0 > 256:
+    if 16 * v0 > 1024:
         raise ValueError("subject polygons too large for the native engine")
     areas = np.empty(n, dtype=np.float64)
     cents = np.empty((n, 2), dtype=np.float64)

@@ -19,7 +19,7 @@
 
 namespace {
 
-constexpr int kMaxVerts = 256;
+constexpr int kMaxVerts = 1024;
 
 struct Ring {
   double x[kMaxVerts];

@@ -78,15 +78,22 @@ def test_greenland_style_stereo_exchange():
     xg = make_exchange_grid(specA, specI, subdiv=2)
     areasI = specI.cell_areas()
     np.testing.assert_allclose(xg.area_sums_I(), areasI, rtol=1e-12)
-    # Without repair the raw geometric error should already be small,
-    # bounded by the polygon approximation of curved cell edges.
+    # Even WITHOUT repair, column sums are exact to round-off: the projected
+    # A polygons (straight edges, shared chords) tile the plane, so the
+    # curvature approximation only moves area BETWEEN A parents, never in or
+    # out of an ice cell.  (Repair still matters for masked/partial cases.)
     xg_raw = make_exchange_grid(specA, specI, subdiv=2, repair=False)
     rel = np.abs(xg_raw.area_sums_I() - areasI) / areasI
-    assert rel.max() < 5e-5
-    # subdividing edges tightens the raw geometric error
-    xg_raw4 = make_exchange_grid(specA, specI, subdiv=4, repair=False)
-    rel4 = np.abs(xg_raw4.area_sums_I() - areasI) / areasI
-    assert rel4.max() < rel.max()
+    assert rel.max() < 1e-12
+    # The A-side SPLIT is what edge subdivision refines: per-A row sums move
+    # by a small curvature-sized amount between subdiv=2 and subdiv=8.
+    xg_raw8 = make_exchange_grid(specA, specI, subdiv=8, repair=False,
+                                 engine="numpy")
+    rA2 = xg_raw.area_sums_A()
+    rA8 = xg_raw8.area_sums_A()
+    nz = rA8 > 0
+    split_shift = np.abs(rA2[nz] - rA8[nz]).max() / rA8[nz].max()
+    assert 1e-12 < split_shift < 1e-3
 
 
 def test_polar_cap_cell_covered():
