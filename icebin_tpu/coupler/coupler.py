@@ -221,12 +221,16 @@ class GCMCoupler:
     Fortran marshalling, which lives in ``icebin_tpu.models.modele_adapter``)."""
 
     def __init__(self, gr: GCMRegridder, cfg: CouplerConfig = CouplerConfig(),
-                 sheets: Optional[Dict[str, IceSheetCoupler]] = None):
+                 sheets: Optional[Dict[str, IceSheetCoupler]] = None,
+                 writer=None):
         self.gr = gr
         self.cfg = cfg
         self.sheets = sheets or {
             name: IceSheetCoupler(gr, name, cfg) for name in gr.sheets}
         self.ledger = Ledger()
+        #: optional CouplerWriter for per-step field dumps (the reference's
+        #: gcm-out/gcm-in/IceWriter observability pattern [U])
+        self.writer = writer
         self.time = 0.0
 
     def couple(self, gcm_ovalsE: Dict[str, jnp.ndarray]):
@@ -236,6 +240,15 @@ class GCMCoupler:
         results = {}
         for name, sc in self.sheets.items():
             results[name] = sc.couple(self.time, gcm_ovalsE[name], self.ledger)
+        if self.writer is not None:
+            import numpy as _np
+            fields = {}
+            for name, r in results.items():
+                fields[f"{name}.fE_in"] = _np.asarray(gcm_ovalsE[name])
+                fields[f"{name}.fI"] = _np.asarray(r["fI"])
+                fields[f"{name}.fE_out"] = _np.asarray(r["fE_out"])
+                fields[f"{name}.fA_out"] = _np.asarray(r["fA_out"])
+            self.writer.dump(self.time, fields, self.ledger.to_rows()[-1])
         self.time += self.cfg.dt
         return results
 
