@@ -1,8 +1,10 @@
 """Driver benchmark: ONE JSON line with the flagship SpMM throughput.
 
-Measures the BDT regrid apply (EvI o IvE round trip, 8 fields, f32) on a
-REAL SeaRISE-Greenland-5km x ModelE-2x2.5 matrix set with 5 elevation
-classes (BASELINE.json config #3), on the real TPU chip.
+Measures the BDT regrid apply (EvI o IvE round trips, 8 fields, f32) on
+REAL multi-sheet matrices: SeaRISE Greenland 5 km AND Antarctica 5 km vs
+ModelE 2x2.5 with 5 elevation classes (BASELINE.json configs #3/#5,
+single-chip), exchange grids built by the native C++ engine, on the real
+TPU chip.
 
 Methodology notes (see .claude/skills/verify/SKILL.md):
 * block_until_ready is unreliable through the axon relay and a sync fetch
@@ -20,7 +22,7 @@ import time
 
 import numpy as np
 
-N_REPS = 64
+N_REPS = 32
 NVAR = 8
 
 ROOFS_GBPS = {  # nominal HBM bandwidth per chip
@@ -46,26 +48,38 @@ def build_matrices():
     from icebin_tpu.regrid.matrices import RegridParams
 
     specA = modele_lonlat_grid(144, 90)
-    # 5 km Greenland window (SeaRISE projection); nx multiple of TILE_C-
-    # friendly sizes is not required for the single-chip bench.
-    specI = GridSpecXY(
-        xb=np.linspace(-650e3, 870e3, 305),
-        yb=np.linspace(-3350e3, -630e3, 545),
-        projection="+proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 +ellps=WGS84")
+    sheets = {
+        "greenland": GridSpecXY(
+            xb=np.linspace(-650e3, 870e3, 305),
+            yb=np.linspace(-3350e3, -630e3, 545),
+            projection="+proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 "
+                       "+ellps=WGS84"),
+        # Antarctica at 10 km: the pole-centered domain defeats the banded
+        # scatter (a lattice row crosses every longitude), so its applies
+        # ride the scatter fallback -- 5 km would dominate the bench with
+        # that known-slower path and minutes of build/compile.
+        "antarctica": GridSpecXY(
+            xb=np.linspace(-2800e3, 2800e3, 561),
+            yb=np.linspace(-2800e3, 2800e3, 561),
+            projection="+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 "
+                       "+ellps=WGS84"),
+    }
     gr = GCMRegridder(specA, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3500.0])
-    gr.add_sheet("greenland", specI, subdiv=2)
-
-    c = specI.cell_centers()
-    r2 = (((c[:, 0] - 110e3) / 720e3) ** 2
-          + ((c[:, 1] + 1990e3) / 1360e3) ** 2)
-    elev = np.where(r2 < 1.0, 3200.0 * (1.0 - r2), np.nan)
-    rm = gr.regrid_matrices("greenland", elev)
     P = RegridParams(scale=True, correctA=True)
-    Me = rm.matrix("EvI", P)
-    Mi = rm.matrix("IvE", P)
-    evi = bdt_from_weighted(Me, small_axis="rows")
-    ive = bdt_from_weighted(Mi, small_axis="cols")
-    return evi, ive, Me, Mi
+    out = {}
+    for name, specI in sheets.items():
+        gr.add_sheet(name, specI, subdiv=2)
+        c = specI.cell_centers()
+        ex = (np.ptp(specI.xb) / 2.2, np.ptp(specI.yb) / 2.2)
+        r2 = (((c[:, 0] - specI.xb.mean()) / ex[0]) ** 2
+              + ((c[:, 1] - specI.yb.mean()) / ex[1]) ** 2)
+        elev = np.where(r2 < 1.0, 3500.0 * (1.0 - r2), np.nan)
+        rm = gr.regrid_matrices(name, elev)
+        Me = rm.matrix("EvI", P)
+        Mi = rm.matrix("IvE", P)
+        out[name] = (bdt_from_weighted(Me, small_axis="rows"),
+                     bdt_from_weighted(Mi, small_axis="cols"), Me, Mi)
+    return out
 
 
 def main():
@@ -74,51 +88,62 @@ def main():
     # accounting; hot arrays are all explicitly f32.
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
+    from icebin_tpu.coupler.ledger import repair_mass
     from icebin_tpu.ops.bdt import apply_bdt
 
-    evi, ive, Me, Mi = build_matrices()
-    nI = evi.nice
+    mats = build_matrices()
     rng = np.random.default_rng(0)
-    fI = jnp.asarray(rng.uniform(0.5, 1.5, (NVAR, nI)), jnp.float32)
 
-    # conservation gate (host f64 oracle vs device f32 apply)
-    f1 = np.asarray(rng.uniform(1.0, 2.0, Me.shape[1]))
-    dev = np.asarray(apply_bdt(evi, jnp.asarray(f1, jnp.float32)), np.float64)
-    m_dev = np.nansum(np.where(np.isfinite(dev), dev, 0.0) * Me.wM)
-    m_src = np.sum(f1 * Me.Mw)
-    if abs(m_dev - m_src) / abs(m_src) > 1e-5:
-        print(json.dumps({"metric": "regrid_spmm_effective_GBps", "value": 0.0,
-                          "unit": "GB/s", "vs_baseline": 0.0,
-                          "error": "conservation gate failed"}))
-        return
-    # f64-repaired conservation (the runtime path) must hit the north star
-    from icebin_tpu.coupler.ledger import repair_mass, weighted_mass
-    rep = repair_mass(jnp.asarray(np.where(np.isfinite(dev), dev, 0.0),
-                                  jnp.float64)[None],
-                      jnp.asarray(Me.wM), jnp.asarray([m_src]))
-    m_rep = float(jnp.sum(rep[0] * jnp.asarray(Me.wM)))
-    assert abs(m_rep - m_src) / abs(m_src) < 1e-10, "repair gate failed"
+    # conservation gates per sheet (host f64 oracle vs device f32 apply,
+    # then the f64-repaired runtime path at the north-star bound)
+    for name, (evi, ive, Me, Mi) in mats.items():
+        f1 = np.asarray(rng.uniform(1.0, 2.0, Me.shape[1]))
+        dev = np.asarray(apply_bdt(evi, jnp.asarray(f1, jnp.float32)),
+                         np.float64)
+        m_dev = np.nansum(np.where(np.isfinite(dev), dev, 0.0) * Me.wM)
+        m_src = np.sum(f1 * Me.Mw)
+        if abs(m_dev - m_src) / abs(m_src) > 1e-5:
+            print(json.dumps({"metric": "regrid_spmm_effective_GBps",
+                              "value": 0.0, "unit": "GB/s",
+                              "vs_baseline": 0.0,
+                              "error": f"conservation gate failed: {name}"}))
+            return
+        rep = repair_mass(jnp.asarray(np.where(np.isfinite(dev), dev, 0.0),
+                                      jnp.float64)[None],
+                          jnp.asarray(Me.wM), jnp.asarray([m_src]))
+        m_rep = float(jnp.sum(rep[0] * jnp.asarray(Me.wM)))
+        assert abs(m_rep - m_src) / abs(m_src) < 1e-10, "repair gate failed"
+
+    pairs = [(evi, ive) for (evi, ive, _, _) in mats.values()]
+    fIs = [jnp.asarray(rng.uniform(0.5, 1.5, (NVAR, evi.nice)), jnp.float32)
+           for (evi, ive) in pairs]
 
     @jax.jit
-    def chain(evi_m, ive_m, f):
+    def chain(ms, fs):
         def body(c, _):
-            e = apply_bdt(evi_m, c, scale=True, fill=0.0)
-            c2 = apply_bdt(ive_m, e, scale=True, fill=0.0)
-            return c2, ()
-        c, _ = jax.lax.scan(body, f, None, length=N_REPS)
-        return c.sum()
+            out = []
+            for (evi_m, ive_m), f in zip(ms, c):
+                e = apply_bdt(evi_m, f, scale=True, fill=0.0)
+                out.append(apply_bdt(ive_m, e, scale=True, fill=0.0))
+            return tuple(out), ()
+        c, _ = jax.lax.scan(body, tuple(fs), None, length=N_REPS)
+        return sum(x.sum() for x in c)
 
-    float(chain(evi, ive, fI))               # compile + warm
+    float(chain(pairs, fIs))                 # compile + warm
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chain(evi, ive, fI))
+        float(chain(pairs, fIs))
         ts.append(time.perf_counter() - t0)
     lat = 0.027                               # relay sync latency (measured)
     per_rt = max((min(ts) - lat) / N_REPS, 1e-9)
 
-    tile_bytes = (evi.tiles.size + ive.tiles.size) * 4
-    io_bytes = 2 * (NVAR * nI * 4) + 2 * (NVAR * evi.nsmall * 4)
+    tile_bytes = sum((evi.tiles.size + ive.tiles.size) * 4
+                     + (0 if evi.scat_onehot is None
+                        else 2 * evi.scat_onehot.size * 4)
+                     for evi, ive in pairs)
+    io_bytes = sum(2 * (NVAR * evi.nice * 4) + 2 * (NVAR * evi.nsmall * 4)
+                   for evi, ive in pairs)
     gbps = (tile_bytes + io_bytes) / per_rt / 1e9
     roof = nominal_roof()
     print(json.dumps({"metric": "regrid_spmm_effective_GBps",

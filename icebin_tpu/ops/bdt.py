@@ -70,8 +70,13 @@ class BDTMatrix:
     ov_vals: Optional[jnp.ndarray]
     wS: jnp.ndarray          # (nsmall,) small-space sums (row sums of M_SI)
     wI: jnp.ndarray          # (nice,)  ice-space sums  (col sums of M_SI)
-    scat_onehot: Optional[jnp.ndarray]  # (nchunk, band, chunk) bf16 or None
+    scat_onehot: Optional[jnp.ndarray]  # (nchunk, band, chunk) f32 or None
     scat_base: Optional[jnp.ndarray]    # (nchunk,) int32 first small row
+    #: tiles in WIDE chunks (e.g. polar blocks whose windows span too broad
+    #: a band): flat tile indices + their row starts, handled by a small
+    #: scatter-add instead of the band matmul
+    scat_wide_idx: Optional[jnp.ndarray]
+    scat_wide_rs: Optional[jnp.ndarray]
     nsmall: int
     nice: int                # true (unpadded) ice extent
     transposed: bool         # True if the logical matrix is (ice x small)
@@ -79,7 +84,7 @@ class BDTMatrix:
     def tree_flatten(self):
         return ((self.tiles, self.row_start, self.ov_rows, self.ov_cols,
                  self.ov_vals, self.wS, self.wI, self.scat_onehot,
-                 self.scat_base),
+                 self.scat_base, self.scat_wide_idx, self.scat_wide_rs),
                 (self.nsmall, self.nice, self.transposed))
 
     @classmethod
@@ -143,9 +148,19 @@ def bdt_from_weighted(M: WeightedMatrix, small_axis: str = "rows",
     tiles_in_blk = np.zeros(nblk, dtype=np.int64)
     np.add.at(tiles_in_blk, win_blk, 1)
     if max_tiles_per_block is None:
-        T = int(max(1, tiles_in_blk.max())) if n_win else 1
-        if n_win and T > 2 * max(1.0, tiles_in_blk[tiles_in_blk > 0].mean()):
-            T = int(np.ceil(2 * tiles_in_blk[tiles_in_blk > 0].mean()))
+        # Smallest T covering ~97% of blocks: tile padding is pure bandwidth
+        # waste, and near a projection pole a few ice blocks touch DOZENS of
+        # tiny A cells (T would explode 10x); those blocks' excess windows
+        # ride the COO overflow path instead.
+        if n_win:
+            nz = tiles_in_blk[tiles_in_blk > 0]
+            # p97 for regular heavy-but-even distributions, capped at 3x the
+            # mean for pole-centered grids whose polar blocks have heavy
+            # tails (they would pad every block's tiles 10x otherwise)
+            T = int(max(1, min(np.quantile(nz, 0.97),
+                               np.ceil(3.0 * nz.mean()))))
+        else:
+            T = 1
     else:
         T = max_tiles_per_block
     slot_of_win = np.concatenate([[0], np.cumsum(tiles_in_blk)[:-1]])
@@ -182,15 +197,18 @@ def bdt_from_weighted(M: WeightedMatrix, small_axis: str = "rows",
         ovc = jnp.asarray(cc[oo], jnp.int32)
         ovv = jnp.asarray(vv[oo], dtype)
 
-    onehot, base = (None, None)
-    if not transposed:
-        onehot, base = _build_scatter_band(row_start, int(nsmall))
+    # The banded one-hot serves both directions: dest-small turns the window
+    # SCATTER into a matmul, dest-ice its transpose turns the window GATHER
+    # into a matmul (same fixed pattern either way).
+    onehot, base, wide_idx, wide_rs = _build_scatter_band(row_start,
+                                                          int(nsmall))
     return BDTMatrix(
         tiles=jnp.asarray(tiles, dtype),
         row_start=jnp.asarray(row_start),
         ov_rows=ovr, ov_cols=ovc, ov_vals=ovv,
         wS=jnp.asarray(wS, dtype), wI=jnp.asarray(wI, dtype),
         scat_onehot=onehot, scat_base=base,
+        scat_wide_idx=wide_idx, scat_wide_rs=wide_rs,
         nsmall=int(nsmall), nice=int(nice), transposed=transposed)
 
 
@@ -201,32 +219,46 @@ SCAT_MAX_BAND = 1024    # max window slots per chunk band (else scatter path)
 def _build_scatter_band(row_start: np.ndarray, nsmall: int):
     """Banded one-hot replacing the dest-small scatter (see class docstring).
 
-    Returns (onehot (nch, W8, C) f32 jnp, base (nch,) int32 jnp) or
-    (None, None) when a chunk's window spread exceeds SCAT_MAX_BAND (the
-    apply then falls back to the plain scatter-add).
+    Returns (onehot, base, wide_idx, wide_rs): the f32 band one-hot and
+    chunk bases, plus the flat tile indices / row starts of tiles in WIDE
+    chunks (scattered directly at apply time).  All-None when the band
+    would not fit memory (apply falls back to the plain scatter-add).
     """
     rs = row_start.reshape(-1).astype(np.int64)
     N = rs.size
     C = SCAT_CHUNK
     nch = -(-N // C)
     rs_p = np.concatenate([rs, np.full(nch * C - N, rs[-1] if N else 0)])
-    slots = rs_p // TILE_R
-    sl = slots.reshape(nch, C)
+    sl = (rs_p // TILE_R).reshape(nch, C)
     smin = sl.min(axis=1)
-    smax = sl.max(axis=1)
-    W8 = int((smax - smin).max()) + 1
-    W8 = -(-W8 // 8) * 8                       # sublane-align the band
-    if W8 > SCAT_MAX_BAND:
-        return None, None
+    spread = sl.max(axis=1) - smin + 1
+    # Band width from the TYPICAL chunk; chunks wider than that (polar ice
+    # blocks whose windows span many tiny A cells) fall back to a direct
+    # scatter of just their tiles.
+    W8 = int(-(-int(np.quantile(spread, 0.95)) // 8) * 8)
+    W8 = min(max(W8, 8), SCAT_MAX_BAND)
+    wide_ch = spread > W8
+    if W8 * nch * C * 4 > 256 << 20:
+        return None, None, None, None
+    narrow = ~wide_ch
     onehot = np.zeros((nch, W8, C), dtype=np.float32)
     ch = np.repeat(np.arange(nch), C)
-    onehot[ch, (sl - smin[:, None]).reshape(-1), np.tile(np.arange(C), nch)] = 1.0
+    off = (sl - smin[:, None]).reshape(-1)
+    ok = narrow[ch] & (np.arange(nch * C) % C + ch * C < max(N, 1))         & (off < W8)
+    onehot[ch[ok], off[ok], (np.arange(nch * C) % C)[ok]] = 1.0
+    wide_idx = wide_rs = None
+    if wide_ch.any():
+        tid = np.nonzero(wide_ch[ch] & (np.arange(nch * C) < N))[0]
+        wide_idx = jnp.asarray(tid.astype(np.int32))
+        wide_rs = jnp.asarray(rs[tid].astype(np.int32))
     return (jnp.asarray(onehot),
-            jnp.asarray((smin * TILE_R).astype(np.int32)))
+            jnp.asarray((smin * TILE_R).astype(np.int32)),
+            wide_idx, wide_rs)
 
 
 def tiles_dest_small_unscaled(tiles, row_start, fi_blocks, nsmall: int,
-                              scat_onehot=None, scat_base=None):
+                              scat_onehot=None, scat_base=None,
+                              scat_wide_idx=None, scat_wide_rs=None):
     """Core dest-small contraction on raw arrays (shard_map-friendly: works
     on a LOCAL slice of the block axis; caller psums partials).
 
@@ -248,9 +280,9 @@ def tiles_dest_small_unscaled(tiles, row_start, fi_blocks, nsmall: int,
     nch, W8, C = scat_onehot.shape
     N = prods.shape[1] * prods.shape[2]
     p2 = prods.transpose(1, 2, 3, 0).reshape(N, TILE_R * nvar)
-    p2 = jnp.pad(p2, ((0, nch * C - N), (0, 0)))
-    p2 = p2.reshape(nch, C, TILE_R * nvar)
-    band = jnp.einsum("nwc,ncd->nwd", scat_onehot.astype(tiles.dtype), p2,
+    p2p = jnp.pad(p2, ((0, nch * C - N), (0, 0)))
+    band = jnp.einsum("nwc,ncd->nwd", scat_onehot.astype(tiles.dtype),
+                      p2p.reshape(nch, C, TILE_R * nvar),
                       preferred_element_type=tiles.dtype,
                       precision=jax.lax.Precision.HIGHEST)
     band = band.reshape(nch, W8, TILE_R, nvar)
@@ -258,20 +290,57 @@ def tiles_dest_small_unscaled(tiles, row_start, fi_blocks, nsmall: int,
            ).reshape(-1)                      # (nch*W8*8,) absolute rows
     vals = band.reshape(nch, W8 * TILE_R, nvar).reshape(-1, nvar).T
     out = jnp.zeros((nvar, nsmall), tiles.dtype)
-    return out.at[:, ids].add(vals, mode="drop")
+    out = out.at[:, ids].add(vals, mode="drop")
+    if scat_wide_idx is not None:
+        # polar/wide chunks: direct scatter of just their tiles
+        pw = jnp.take(p2, scat_wide_idx, axis=0)        # (K, 8*nvar)
+        wid = (scat_wide_rs[:, None] + jnp.arange(TILE_R)[None, :]
+               ).reshape(-1)
+        wvals = pw.reshape(-1, TILE_R, nvar).reshape(-1, nvar).T
+        out = out.at[:, wid].add(wvals, mode="drop")
+    return out
 
 
-def tiles_dest_ice_unscaled(tiles, row_start, fsmall):
+def tiles_dest_ice_unscaled(tiles, row_start, fsmall,
+                            scat_onehot=None, scat_base=None,
+                            scat_wide_idx=None, scat_wide_rs=None):
     """Core dest-ice contraction on raw arrays.
 
     fsmall: (nvar, nsmall) small-space values (NaN-free, replicated in the
-    sharded case).  Returns (nvar, nblk*128) unscaled sums.
+    sharded case).  Returns (nvar, nblk*128) unscaled sums.  With
+    ``scat_onehot``/``scat_base`` the per-tile window gather becomes a
+    banded matmul against contiguous small-space slices (TPU gather is the
+    bottleneck otherwise).
     """
     nvar = fsmall.shape[0]
     nblk, T = row_start.shape
-    win = row_start[:, :, None] + jnp.arange(TILE_R)[None, None, :]
-    fwin = jnp.take(fsmall, win.reshape(-1), axis=1).reshape(
-        nvar, nblk, T, TILE_R)
+    if scat_onehot is None:
+        win = row_start[:, :, None] + jnp.arange(TILE_R)[None, None, :]
+        fwin = jnp.take(fsmall, win.reshape(-1), axis=1).reshape(
+            nvar, nblk, T, TILE_R)
+    else:
+        nch, W8, C = scat_onehot.shape
+        N = nblk * T
+        nsmall = fsmall.shape[1]
+        # contiguous per-chunk bands of the small space: (nch, W8*8, nvar)
+        pad = jnp.pad(fsmall, ((0, 0), (0, W8 * TILE_R)))
+        idx = (scat_base[:, None] + jnp.arange(W8 * TILE_R)[None, :])
+        # nch is small (tiles/512): this gather is nch*W8*8*nvar elems, 100x
+        # fewer than the per-tile windows
+        band = jnp.take(pad, idx.reshape(-1), axis=1).reshape(
+            nvar, nch, W8, TILE_R)
+        fwin = jnp.einsum("nwc,vnwr->vncr", scat_onehot.astype(fsmall.dtype),
+                          band, preferred_element_type=fsmall.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
+        fwin = fwin.reshape(nvar, nch * C, TILE_R)[:, :N, :]
+        if scat_wide_idx is not None:
+            # wide chunks got zero from the band; gather their windows
+            wwin = (scat_wide_rs[:, None]
+                    + jnp.arange(TILE_R)[None, :]).reshape(-1)
+            got = jnp.take(fsmall, jnp.clip(wwin, 0, nsmall - 1),
+                           axis=1).reshape(nvar, -1, TILE_R)
+            fwin = fwin.at[:, scat_wide_idx, :].set(got)
+        fwin = fwin.reshape(nvar, nblk, T, TILE_R)
     out = jnp.einsum("btrc,vbtr->vbc", tiles, fwin,
                      preferred_element_type=tiles.dtype,
                      precision=jax.lax.Precision.HIGHEST)
@@ -307,7 +376,8 @@ def apply_bdt(bm: BDTMatrix, f, scale: bool = True,
                                                                 TILE_C)
         out = tiles_dest_small_unscaled(bm.tiles, bm.row_start, fi,
                                         bm.nsmall, bm.scat_onehot,
-                                        bm.scat_base)
+                                        bm.scat_base, bm.scat_wide_idx,
+                                        bm.scat_wide_rs)
         if bm.ov_rows is not None:
             g = jnp.take(fv, bm.ov_cols, axis=1) * bm.ov_vals[None, :]
             out = out + jax.vmap(lambda c: jax.ops.segment_sum(
@@ -315,7 +385,10 @@ def apply_bdt(bm: BDTMatrix, f, scale: bool = True,
                 indices_are_sorted=True))(g)
     else:
         # dest = ice, src = small
-        out = tiles_dest_ice_unscaled(bm.tiles, bm.row_start, fv)[:, :bm.nice]
+        out = tiles_dest_ice_unscaled(bm.tiles, bm.row_start, fv,
+                                      bm.scat_onehot, bm.scat_base,
+                                      bm.scat_wide_idx,
+                                      bm.scat_wide_rs)[:, :bm.nice]
         if bm.ov_rows is not None:
             # overflow stored as (small row, ice col): here dest is ice col.
             g = jnp.take(fv, bm.ov_rows, axis=1) * bm.ov_vals[None, :]

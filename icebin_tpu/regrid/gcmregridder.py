@@ -86,7 +86,7 @@ class GCMRegridder:
         return np.where(keep, a, native)
 
     def add_sheet(self, name: str, gridI, exchange: Optional[ExchangeGrid] = None,
-                  subdiv: int = 2, engine: str = "numpy") -> IceSheet:
+                  subdiv: int = 2, engine: str = "auto") -> IceSheet:
         gridI = gridI if isinstance(gridI, Grid) else Grid(gridI)
         if exchange is None:
             exchange = make_exchange_grid(self.gridA, gridI, subdiv=subdiv,

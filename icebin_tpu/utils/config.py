@@ -23,7 +23,7 @@ class SheetConfig:
     exchange_file: Optional[str] = None   # cached exchange grid (else built)
     elevmask_file: Optional[str] = None   # .npy initial elevmask
     subdiv: int = 2
-    engine: str = "numpy"             # exchange-grid clip engine
+    engine: str = "auto"              # exchange-grid clip engine
 
 
 @dataclasses.dataclass

@@ -72,3 +72,34 @@ def test_grid_mask():
     assert g.realized().sum() == 1
     with pytest.raises(ValueError):
         Grid(spec, mask=[True])
+
+
+def test_clipping_predicates():
+    """Region clipping (reference SphericalClip/EuclidianClip parity)."""
+    from icebin_tpu.grid.gen import (clipped_grid, euclidian_clip_box,
+                                     euclidian_clip_circle,
+                                     spherical_clip_cap,
+                                     spherical_clip_lonlat)
+    from icebin_tpu.grid.spec import modele_lonlat_grid
+
+    spec = modele_lonlat_grid(36, 24)
+    m = spherical_clip_lonlat(spec, -60.0, 10.0, 55.0, 85.0)  # Greenland-ish
+    assert 0 < m.sum() < spec.ncells
+    c = spec.cell_centers()
+    assert (c[m, 1] >= 55.0).all()
+    # lon wrap: window crossing the date line
+    mw = spherical_clip_lonlat(spec, 150.0, -150.0, -10.0, 10.0)
+    assert mw.any()
+    lon = c[mw, 0]
+    assert ((lon >= 150.0) | (lon <= -150.0)).all()
+    cap = spherical_clip_cap(spec, -60.0, north=False)
+    assert (c[cap, 1] <= -60.0).all() and cap.any()
+
+    speci = GridSpecXY(xb=np.linspace(-100.0, 100.0, 21),
+                       yb=np.linspace(-100.0, 100.0, 21),
+                       projection=PlateCarree())
+    box = euclidian_clip_box(speci, -50, -50, 50, 50)
+    circ = euclidian_clip_circle(speci, 0, 0, 50)
+    assert circ.sum() < box.sum() < speci.ncells
+    g = clipped_grid(speci, circ)
+    assert g.realized().sum() == circ.sum()
