@@ -11,13 +11,11 @@ the same function jits under a device mesh with sharded operands
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from icebin_tpu.models.ice_sheet import (RHO_ICE, IceSheetConfig,
-                                         IceSheetState, step)
+from icebin_tpu.models.ice_sheet import IceSheetConfig, IceSheetState, step
 from icebin_tpu.ops.bdt import BDTMatrix, apply_bdt
 
 __all__ = ["coupled_step"]

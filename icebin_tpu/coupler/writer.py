@@ -8,7 +8,6 @@ ledger row, so two runs can be diffed field-by-field.
 """
 from __future__ import annotations
 
-import os
 import pathlib
 from typing import Dict, Optional
 

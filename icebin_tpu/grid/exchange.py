@@ -28,7 +28,7 @@ from typing import Optional
 
 import numpy as np
 
-from icebin_tpu.grid.spec import Grid, GridSpecLonLat, GridSpecXY
+from icebin_tpu.grid.spec import Grid, GridSpecXY
 
 __all__ = ["ExchangeGrid", "make_exchange_grid", "candidate_pairs",
            "prepare_subject_polygons"]

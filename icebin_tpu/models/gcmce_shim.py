@@ -21,7 +21,7 @@ def gcmce_new(config_path: str) -> int:
     """Create an adapter from a RunConfig JSON (reference gcmce_new reads
     the icebin.nc config [U])."""
     from icebin_tpu.coupler.coupler import CouplerConfig
-    from icebin_tpu.io.ncio import read_exchange, read_gcmregridder, read_grid
+    from icebin_tpu.io.ncio import read_exchange, read_grid
     from icebin_tpu.regrid.gcmregridder import GCMRegridder
     from icebin_tpu.utils.config import RunConfig
 

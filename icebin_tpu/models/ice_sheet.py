@@ -27,7 +27,6 @@ exchange via shard_map (``icebin_tpu.parallel``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,6 @@ column sums exact regardless -- SURVEY.md section 7 hard parts (a,c)).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,18 +20,13 @@ axis shards evenly.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from icebin_tpu.models.ice_sheet import (GAMMA, GLEN_N, IceSheetConfig,
-                                         sia_flux_div_ghosted)
+from icebin_tpu.models.ice_sheet import IceSheetConfig, sia_flux_div_ghosted
 from icebin_tpu.ops.bdt import (TILE_C, BDTMatrix, tiles_dest_ice_unscaled,
                                 tiles_dest_small_unscaled)
 from icebin_tpu.parallel.halo import halo_exchange_rows

@@ -17,7 +17,7 @@ import numpy as np
 from icebin_tpu.grid.exchange import (ExchangeGrid, make_exchange_grid,
                                       prepare_subject_polygons)
 from icebin_tpu.grid.spec import Grid, GridSpecXY
-from icebin_tpu.regrid.matrices import RegridMatrices, RegridParams
+from icebin_tpu.regrid.matrices import RegridMatrices
 from icebin_tpu.utils.indexing import Indexing
 
 __all__ = ["IceSheet", "GCMRegridder"]

@@ -24,11 +24,9 @@ TPU-native construction (documented rule, tested):
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
-from icebin_tpu.grid.spec import Grid, GridSpecLonLat
+from icebin_tpu.grid.spec import GridSpecLonLat
 from icebin_tpu.regrid.gcmregridder import GCMRegridder
 from icebin_tpu.regrid.hntr import hntr_matrix
 from icebin_tpu.regrid.matrices import RegridMatrices, RegridParams

@@ -20,8 +20,6 @@ Eigen sparse matrix ``M`` (unscaled, 'integral' form), and src-weight vector
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 __all__ = ["WeightedMatrix", "SparseSet", "coo_dedup"]

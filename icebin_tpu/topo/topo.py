@@ -22,7 +22,7 @@ fraction field conserves area exactly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

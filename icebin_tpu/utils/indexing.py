@@ -14,8 +14,6 @@ dimensions in *declaration order* plus a permutation giving storage-major order.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import numpy as np
 
 __all__ = ["Indexing", "Domain"]
