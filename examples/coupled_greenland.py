@@ -43,7 +43,17 @@ def main():
     gr.add_sheet("greenland", specI, subdiv=2)
 
     out = pathlib.Path(args.out)
-    cp = GCMCoupler(gr, CouplerConfig(dt=86400.0 * 30, regen_every=6),
+    from icebin_tpu.coupler.coupler import IceSheetCoupler
+    from icebin_tpu.models.ice_sheet import IceSheetConfig
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=6)
+    # modest substep bound: keeps the first (remote) compile fast
+    ice_cfg = IceSheetConfig(nx=specI.nx, ny=specI.ny,
+                             dx=float(np.diff(specI.xb)[0]),
+                             dy=float(np.diff(specI.yb)[0]),
+                             n_substeps_max=8)
+    cp = GCMCoupler(gr, cfg,
+                    sheets={"greenland": IceSheetCoupler(
+                        gr, "greenland", cfg, ice_cfg=ice_cfg)},
                     writer=CouplerWriter(str(out / "dumps"), every=3))
 
     rng = np.random.default_rng(0)
@@ -59,8 +69,12 @@ def main():
         f[3] = -15.0 + 10.0 * season
         return jnp.asarray(f, jnp.float32)
 
-    print(f"running {args.steps} coupling steps...")
-    cp.run_transient(forcing, args.steps)
+    print(f"running {args.steps} coupling steps...", flush=True)
+    for k in range(args.steps):
+        cp.couple({"greenland": forcing(cp.time, "greenland")})
+        r = cp.ledger.to_rows()[-1]
+        print(f"  step {k}: ice mass {r['greenland.ice_mass']:.4e} kg",
+              flush=True)
 
     rows = cp.ledger.to_rows()
     worst = max(abs(r["greenland.mass_in_E"]
