@@ -73,6 +73,9 @@ class IceSheetCoupler:
                                                  dx=dx, dy=dy)
         self.state = ice_state if ice_state is not None else init_state(self.ice_cfg)
         self.cell_area = dx * dy
+        #: the ice dynamics kernel; swap for models.dismal.DismalModel().step
+        #: to run the reference's DISMAL writer ice model family
+        self.ice_step = step
         self.contract_in = contract_in or modele_ice_input_contract()
         self.contract_in_ice = contract_in_ice or ice_native_input_contract()
         # init-time unit check (reference: contracts::setup aborts on
@@ -173,8 +176,9 @@ class IceSheetCoupler:
         else:
             m_delivered = weighted_mass(smbI, bm_ive.wM) * cfg.dt
 
-        # 2. ice model step (reference: IceCoupler_PISM::run_timestep).
-        self.state = step(self.ice_cfg, self.state, smbI, cfg.dt)
+        # 2. ice model step (reference: IceCoupler_PISM::run_timestep;
+        #    DISMAL and other families plug in via self.ice_step).
+        self.state = self.ice_step(self.ice_cfg, self.state, smbI, cfg.dt)
         mass1 = jnp.sum(self.state.H.astype(mass0.dtype)) * areaI * RHO_ICE
 
         # 3. harvest outputs, regrid I -> E/A.

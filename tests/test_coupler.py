@@ -158,3 +158,21 @@ def test_contract_mismatch_raises():
     b = VarSet().add("x", "m")
     with pytest.raises(UnitError):
         a.conversion_to(b)
+
+
+def test_dismal_writer_ice_model(tmp_path):
+    """The DISMAL family: no dynamics, unchanged surface, forcing capture
+    (reference's writer ice-coupler variant)."""
+    from icebin_tpu.models.dismal import DismalModel
+    cp = make_coupler()
+    sc = cp.sheets["toy"]
+    dm = DismalModel(out_dir=str(tmp_path / "dismal"))
+    sc.ice_step = dm.step
+    H0 = np.asarray(sc.state.H).copy()
+    cp.run_transient(lambda t, s: forcing(t, s, coupler=cp), 3)
+    np.testing.assert_array_equal(np.asarray(sc.state.H), H0)  # static ice
+    files = sorted((tmp_path / "dismal").iterdir())
+    assert len(files) == 3
+    z = np.load(files[0])
+    assert z["smb_flux"].shape == (40, 40)
+    assert float(np.abs(z["smb_flux"]).max()) > 0

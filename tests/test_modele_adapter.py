@@ -164,3 +164,47 @@ def test_gcmce_c_abi(tmp_path):
     s = fhc3.sum(axis=0)
     assert (np.abs(s[s > 0] - 1.0) < 1e-9).all()
     lib.gcmce_delete(h)
+
+
+def test_gcmce_pure_c_driver(tmp_path):
+    """Compile and run native/test_gcmce.c -- a Python-free C program
+    driving the coupler through the gcmce ABI (the ModelE linking shape)."""
+    import subprocess
+    lib_dir = pathlib.Path("/root/repo/native")
+    if not (lib_dir / "libicebin_gcmce.so").exists():
+        pytest.skip("libicebin_gcmce.so not built")
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+    from icebin_tpu.io.ncio import write_grid
+    from icebin_tpu.utils.config import RunConfig, SheetConfig
+    scale = 25e3
+    specA = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, 7),
+                           latb=np.linspace(30.0, 80.0, 6))
+    specI = GridSpecXY(xb=np.linspace(0.0, 40.0 * scale, 31),
+                       yb=np.linspace(30.0 * scale, 80.0 * scale, 31),
+                       projection=PlateCarree(scale=scale))
+    pa, pi = str(tmp_path / "a.nc"), str(tmp_path / "i.nc")
+    write_grid(pa, specA)
+    write_grid(pi, specI)
+    cfgp = str(tmp_path / "run.json")
+    RunConfig(gridA_file=pa, hcdefs=[0.0, 800.0, 2500.0],
+              sheets=[SheetConfig(name="s", grid_file=pi,
+                                  subdiv=1)]).to_json(cfgp)
+    exe = str(tmp_path / "test_gcmce")
+    r = subprocess.run(
+        ["gcc", str(lib_dir / "test_gcmce.c"), "-o", exe,
+         f"-I{lib_dir}", f"-L{lib_dir}", "-licebin_gcmce",
+         f"-Wl,-rpath,{lib_dir}"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("PYTHONHOME", None)
+    # the embedded interpreter must not try to claim the TPU (single-tenant
+    # chip; the test only needs the CPU backend)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    r = subprocess.run([exe, cfgp], capture_output=True, text=True, env=env,
+                       timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PASS" in r.stdout
