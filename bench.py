@@ -70,8 +70,11 @@ def build_matrices():
         rm = gr.regrid_matrices(name, elev)
         Me = rm.matrix("EvI", P)
         Mi = rm.matrix("IvE", P)
-        out[name] = (bdt_from_weighted(Me, small_axis="rows"),
-                     bdt_from_weighted(Mi, small_axis="cols"), Me, Mi)
+        # one tile set serves both directions (exact transposes)
+        import dataclasses
+        evi = bdt_from_weighted(Me, small_axis="rows")
+        ive = dataclasses.replace(evi, transposed=not evi.transposed)
+        out[name] = (evi, ive, Me, Mi)
     return out
 
 
@@ -131,7 +134,9 @@ def main():
     lat = 0.027                               # relay sync latency (measured)
     per_rt = max((min(ts) - lat) / N_REPS, 1e-9)
 
-    tile_bytes = sum((evi.tiles.size + ive.tiles.size) * 4
+    # both directions stream the SAME tile set; each round trip still
+    # reads it twice (once per direction)
+    tile_bytes = sum(2 * evi.tiles.size * 4
                      + (0 if evi.scat_onehot is None
                         else 2 * evi.scat_onehot.size * 4)
                      for evi, ive in pairs)

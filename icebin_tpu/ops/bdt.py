@@ -42,7 +42,7 @@ import numpy as np
 
 from icebin_tpu.regrid.sparse import WeightedMatrix
 
-__all__ = ["BDTMatrix", "bdt_from_weighted", "apply_bdt",
+__all__ = ["BDTMatrix", "bdt_from_weighted", "apply_bdt", "apply_bdt_T",
            "tiles_dest_small_unscaled", "tiles_dest_ice_unscaled"]
 
 TILE_R = 8      # small-space rows per tile (sublane)
@@ -345,6 +345,23 @@ def tiles_dest_ice_unscaled(tiles, row_start, fsmall,
                      preferred_element_type=tiles.dtype,
                      precision=jax.lax.Precision.HIGHEST)
     return out.reshape(nvar, nblk * TILE_C)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def apply_bdt_T(bm: BDTMatrix, f, scale: bool = True,
+                var_factor=None, var_offset=None, fill=jnp.nan):
+    """Apply the TRANSPOSE of bm's logical matrix.
+
+    The unscaled A/E<->I matrices are exact transposes of each other (both
+    store the overlap-area integral entries o_x*h_x), so ONE BDT tile set
+    serves both directions: ``apply_bdt`` for the stored orientation,
+    ``apply_bdt_T`` for the reverse -- halving matrix memory and stream
+    bytes in the coupling round trip.  Weights swap roles: the transpose's
+    dest weights are ``Mw`` of the stored matrix.
+    """
+    flipped = dataclasses.replace(bm, transposed=not bm.transposed)
+    return apply_bdt(flipped, f, scale=scale, var_factor=var_factor,
+                     var_offset=var_offset, fill=fill)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))

@@ -126,3 +126,35 @@ def test_checkpoint_round_trip(tmp_path):
     cp2.run_transient(lambda t, s: forcing(t, s, coupler=cp2), 2)
     np.testing.assert_array_equal(np.asarray(cp.sheets["toy"].state.H),
                                   np.asarray(cp2.sheets["toy"].state.H))
+
+
+def test_run_cli_end_to_end(tmp_path, capsys, monkeypatch):
+    """The standalone run driver: config -> transient -> ledger report."""
+    from icebin_tpu.cli.run import main as run_main
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+
+    scale = 25e3
+    specA = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, 7),
+                           latb=np.linspace(30.0, 80.0, 7))
+    specI = GridSpecXY(xb=np.linspace(0.0, 40.0 * scale, 33),
+                       yb=np.linspace(30.0 * scale, 80.0 * scale, 33),
+                       projection=PlateCarree(scale=scale))
+    pa, pi = str(tmp_path / "a.nc"), str(tmp_path / "i.nc")
+    write_grid(pa, specA)
+    write_grid(pi, specI)
+    cfgp = str(tmp_path / "run.json")
+    RunConfig(gridA_file=pa, hcdefs=[0.0, 800.0, 2500.0],
+              sheets=[SheetConfig(name="s", grid_file=pi, subdiv=1)],
+              n_steps=3, dump_dir=str(tmp_path / "dumps"),
+              checkpoint_every=2).to_json(cfgp)
+    monkeypatch.chdir(tmp_path)
+    assert run_main([cfgp]) == 0
+    out = capsys.readouterr().out
+    assert "worst per-step transport conservation" in out
+    worst = float(out.strip().rsplit(" ", 1)[-1])
+    assert worst < 1e-10
+    assert len(list((tmp_path / "dumps").iterdir())) == 3
+    assert (tmp_path / "checkpoint_000002.npz").exists()
+    # dismal variant
+    assert run_main([cfgp, "--ice", "dismal"]) == 0

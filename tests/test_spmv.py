@@ -138,3 +138,24 @@ def test_bdt_nan_source_zeroed():
     want = M.apply(f0)
     ok = np.isfinite(want)
     np.testing.assert_allclose(got[ok], want[ok], rtol=1e-12)
+
+
+def test_bdt_transposed_apply_shares_tiles():
+    """One tile set serves both directions: apply_bdt_T(EvI) == IvE apply."""
+    from icebin_tpu.ops.bdt import apply_bdt, apply_bdt_T, bdt_from_weighted
+    M = setup("EvI")
+    Mt = M.transpose()
+    bm = bdt_from_weighted(M, small_axis="rows", dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    fE = rng.uniform(1, 2, (3, M.shape[0]))
+    got = np.asarray(apply_bdt_T(bm, jnp.asarray(fE)))
+    want = Mt.apply(fE)
+    ok = np.isfinite(want)
+    np.testing.assert_allclose(got[ok], want[ok], rtol=1e-12)
+    assert np.isnan(got[~ok]).all()
+    # and the forward direction still works on the same object
+    fI = rng.uniform(1, 2, M.shape[1])
+    got2 = np.asarray(apply_bdt(bm, jnp.asarray(fI)))
+    want2 = M.apply(fI)
+    ok2 = np.isfinite(want2)
+    np.testing.assert_allclose(got2[ok2], want2[ok2], rtol=1e-12)
