@@ -107,15 +107,20 @@ def init_state(cfg: IceSheetConfig, bed=None, H0=None,
 
 
 def sia_flux_div_ghosted(Hg, sg, dx, dy):
-    """Flux-form SIA divergence on arrays carrying ONE ghost row on each
-    y-end (edge-replicated at physical boundaries, neighbor rows under
-    domain decomposition -- ``parallel.halo``).  Returns the divergence
-    cropped to the interior rows plus the max diffusivity for CFL.
+    """Flux-form SIA divergence on arrays carrying ONE ghost layer on EVERY
+    side (edge-replicated at physical boundaries, neighbor rows/cols under
+    1-D or 2-D domain decomposition -- ``parallel.halo``).  Returns the
+    divergence cropped to the interior plus the max diffusivity for CFL.
 
     Conservative by construction: interior face fluxes cancel pairwise; the
-    edge-replicated ghosts make boundary-face fluxes zero.  Using ONE code
-    path for single-device and sharded execution guarantees the sharded
-    model is bit-equivalent in stencil shape (SURVEY.md section 4).
+    edge-replicated ghosts make boundary-face fluxes zero.  One code path
+    serves single-device and every sharding, so sharded trajectories are
+    bit-equivalent in stencil shape (SURVEY.md section 4).
+
+    CFL exclusions: De's ghost ROWS (their y-cross-gradient is one-sided in
+    the padded block) and Dn's ghost COLUMNS (one-sided x-cross-gradient)
+    are excluded from Dmax, so every real face contributes its exact global
+    value at least once in some shard and pmax(local) == global.
     """
     He = 0.5 * (Hg[:, 1:] + Hg[:, :-1])
     dsx = (sg[:, 1:] - sg[:, :-1]) / dx
@@ -136,21 +141,17 @@ def sia_flux_div_ghosted(Hg, sg, dx, dy):
     div = div.at[:, 1:].add(-qe / dx)
     div = div.at[:-1, :].add(qn / dy)
     div = div.at[1:, :].add(-qn / dy)
-    # CFL diffusivity: EXCLUDE ghost-row east faces (their y-cross-gradient
-    # is one-sided in the padded block and would differ between a shard and
-    # the global array); with the exclusion every face is counted exactly
-    # once across shards, so pmax(local Dmax) == global Dmax and the sharded
-    # trajectory is identical to single-device.
-    Dmax = jnp.maximum(jnp.max(De[1:-1, :]), jnp.max(Dn))
-    return div[1:-1, :], Dmax
+    Dmax = jnp.maximum(jnp.max(De[1:-1, :]), jnp.max(Dn[:, 1:-1]))
+    return div[1:-1, 1:-1], Dmax
 
 
 def _sia_flux_div(H, s, dx, dy):
-    """Single-device wrapper: edge-replicate one ghost row, then the shared
-    ghosted stencil."""
-    Hg = jnp.concatenate([H[:1], H, H[-1:]], axis=0)
-    sg = jnp.concatenate([s[:1], s, s[-1:]], axis=0)
-    return sia_flux_div_ghosted(Hg, sg, dx, dy)
+    """Single-device wrapper: edge-replicate one ghost layer on all sides,
+    then the shared ghosted stencil."""
+    def pad(a):
+        a = jnp.concatenate([a[:1], a, a[-1:]], axis=0)
+        return jnp.concatenate([a[:, :1], a, a[:, -1:]], axis=1)
+    return sia_flux_div_ghosted(pad(H), pad(s), dx, dy)
 
 
 def step(cfg: IceSheetConfig, state: IceSheetState, smb_flux,

@@ -27,7 +27,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from icebin_tpu.models.ice_sheet import IceSheetConfig, sia_flux_div_ghosted
-from icebin_tpu.ops.bdt import (TILE_C, BDTMatrix, tiles_dest_ice_unscaled,
+from icebin_tpu.ops.bdt import (TILE_C, TILE_R, BDTMatrix,
+                                tiles_dest_ice_unscaled,
                                 tiles_dest_small_unscaled)
 from icebin_tpu.parallel.halo import halo_exchange_rows
 from icebin_tpu.parallel.mesh import ICE_AXIS
@@ -78,8 +79,10 @@ def _sia_substeps_local(H, bed, smb, dt, cfg: IceSheetConfig, dx, dy,
 
     def substep(carry, _):
         Hl, t_done = carry
-        Hg = halo_exchange_rows(Hl, 1, ICE_AXIS)
-        bg = halo_exchange_rows(bed, 1, ICE_AXIS)
+        def padx(a):   # x is unsharded in the 1-D decomposition
+            return jnp.concatenate([a[:, :1], a, a[:, -1:]], axis=1)
+        Hg = padx(halo_exchange_rows(Hl, 1, ICE_AXIS))
+        bg = padx(halo_exchange_rows(bed, 1, ICE_AXIS))
         div, Dmax_local = sia_flux_div_ghosted(Hg, Hg + bg, dx, dy)
         Dmax = jax.lax.pmax(Dmax_local, ICE_AXIS)
         cfl = jnp.where(Dmax > 0, 0.25 * min(dx, dy) ** 2 / (Dmax + 1e-30),
@@ -141,3 +144,121 @@ def make_sharded_step(mesh, ice_cfg: IceSheetConfig, nsmall_E: int,
         out_specs=(P(ICE_AXIS), P(None, ICE_AXIS), P()),
         check_vma=False)
     return jax.jit(sm)
+
+
+# -- 2-D decomposition (SURVEY.md section 5.7: PETSc-DA-style 2-D blocks) --
+
+ICE_X = "icex"
+ICE_Y = "icey"
+
+
+def make_mesh_2d(shape):
+    """(ny_dev, nx_dev) mesh with axes (icey, icex)."""
+    import numpy as _np
+    devs = jax.devices()
+    n = shape[0] * shape[1]
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return jax.sharding.Mesh(_np.array(devs[:n]).reshape(shape),
+                             (ICE_Y, ICE_X))
+
+
+def shard_coupled_setup_2d(mesh, evi: BDTMatrix, state,
+                           ice_cfg: IceSheetConfig):
+    """Place operands for the 2-D step.  One shared tile set (EvI; IvE is
+    its transpose).  Tiles reshape to (ny, nbx, T, 8, 128) so BOTH leading
+    dims shard; requires nx % (128 * nx_dev) == 0 and ny % ny_dev == 0."""
+    ny_dev, nx_dev = mesh.devices.shape
+    nbx = ice_cfg.nx // TILE_C
+    if ice_cfg.nx % (TILE_C * nx_dev) or ice_cfg.ny % ny_dev:
+        raise ValueError("grid does not tile the 2-D mesh")
+    nblk, T = evi.row_start.shape
+    if nblk != ice_cfg.ny * nbx:
+        raise ValueError("BDT blocks do not match the lattice")
+    P2 = P(ICE_Y, ICE_X)
+    sh = lambda spec: jax.sharding.NamedSharding(mesh, spec)
+    tiles = jnp.reshape(evi.tiles, (ice_cfg.ny, nbx, T, TILE_R, TILE_C))
+    rs = jnp.reshape(evi.row_start, (ice_cfg.ny, nbx, T))
+    wI2 = jnp.reshape(evi.wI, (ice_cfg.ny, ice_cfg.nx))
+    ops = {
+        "tiles": jax.device_put(tiles, sh(P2)),
+        "rs": jax.device_put(rs, sh(P2)),
+        "wI": jax.device_put(wI2, sh(P2)),
+        "wS": jax.device_put(evi.wS, sh(P())),
+        "H": jax.device_put(state.H, sh(P2)),
+        "bed": jax.device_put(state.bed, sh(P2)),
+    }
+    return ops
+
+
+def make_sharded_step_2d(mesh, ice_cfg: IceSheetConfig, nsmall_E: int,
+                         dt: float, rho_ice: float = 910.0):
+    """2-D (icey, icex) coupled step: one shared tile set applied in both
+    directions, halo exchange on both axes, psum over the whole mesh."""
+    ny_dev, nx_dev = mesh.devices.shape
+    ny_l = ice_cfg.ny // ny_dev
+    nbx_l = ice_cfg.nx // TILE_C // nx_dev
+    nx_l = ice_cfg.nx // nx_dev
+    from icebin_tpu.parallel.halo import halo_exchange_cols
+
+    def local_step(tiles, rs, wI, wS, H, bed, fE_in, fac, off):
+        tl = tiles.reshape(ny_l * nbx_l, tiles.shape[2], TILE_R, TILE_C)
+        rl = rs.reshape(ny_l * nbx_l, rs.shape[2])
+        # IvE transport: transposed apply of the shared tiles, local blocks
+        fs = jnp.where(jnp.isfinite(fE_in), fE_in, 0.0)
+        fs = jnp.where(wS[None, :] != 0, fs, 0.0)
+        # scale SOURCE means into integrals is not needed: transposed apply
+        # consumes E means directly (entries are areas)
+        raw = tiles_dest_ice_unscaled(tl, rl, fs)
+        wIl = wI.reshape(-1)
+        safe = jnp.where(wIl != 0, wIl, 1.0)
+        fI = jnp.where(wIl[None, :] != 0, raw / safe, 0.0)
+        fI = fI * fac[:, None] + off[:, None] * (wIl[None, :] != 0)
+        smb = (fI[0] / rho_ice).reshape(ny_l, nx_l).astype(H.dtype)
+
+        def substep(carry, _):
+            Hl, t_done = carry
+            Hg = halo_exchange_cols(
+                halo_exchange_rows(Hl, 1, ICE_Y), 1, ICE_X)
+            bg = halo_exchange_cols(
+                halo_exchange_rows(bed, 1, ICE_Y), 1, ICE_X)
+            div, Dm = sia_flux_div_ghosted(Hg, Hg + bg, ice_cfg.dx,
+                                           ice_cfg.dy)
+            Dmax = jax.lax.pmax(jax.lax.pmax(Dm, ICE_Y), ICE_X)
+            cfl = jnp.where(Dmax > 0,
+                            0.25 * min(ice_cfg.dx, ice_cfg.dy) ** 2
+                            / (Dmax + 1e-30), ice_cfg.dt_max)
+            dt_sub = jnp.maximum(
+                jnp.minimum(jnp.minimum(cfl, ice_cfg.dt_max), dt - t_done),
+                0.0)
+            Hn = jnp.maximum(Hl + (div + smb) * dt_sub.astype(Hl.dtype), 0.0)
+            return (Hn, t_done + dt_sub), None
+
+        (H1, _), _ = jax.lax.scan(substep, (H, jnp.zeros((), H.dtype)),
+                                  None, length=ice_cfg.n_substeps_max)
+
+        icy = H1.reshape(-1) > 1.0
+        outI = jnp.stack([jnp.where(icy, (H1 + bed).reshape(-1), 0.0),
+                          jnp.where(icy, H1.reshape(-1), 0.0),
+                          icy.astype(H1.dtype)])
+        fi_blocks = outI.reshape(3, ny_l * nbx_l, TILE_C)
+        partial = tiles_dest_small_unscaled(tl, rl, fi_blocks, nsmall_E)
+        tot = jax.lax.psum(jax.lax.psum(partial, ICE_Y), ICE_X)
+        safeS = jnp.where(wS != 0, wS, 1.0)
+        fE_out = jnp.where(wS[None, :] != 0, tot / safeS, jnp.nan)
+        return H1, fI.reshape(fI.shape[0], ny_l, nx_l), fE_out
+
+    P2 = P(ICE_Y, ICE_X)
+    sm = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P2, P2, P2, P(), P2, P2, P(), P(), P()),
+        out_specs=(P2, P(None, ICE_Y, ICE_X), P()),
+        check_vma=False)
+
+    def fn(ops, fE_in, fac, off):
+        H1, fI, fE_out = sm(ops["tiles"], ops["rs"], ops["wI"], ops["wS"],
+                            ops["H"], ops["bed"], fE_in, fac, off)
+        # fI arrives (nvar, ny, nx) lattice-shaped; flatten to cell order
+        return H1, fI.reshape(fI.shape[0], -1), fE_out
+
+    return jax.jit(fn)

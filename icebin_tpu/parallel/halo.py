@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["halo_exchange_rows"]
+__all__ = ["halo_exchange_rows", "halo_exchange_cols"]
 
 
 def halo_exchange_rows(x, width: int, axis_name: str):
@@ -39,3 +39,24 @@ def halo_exchange_rows(x, width: int, axis_name: str):
     ghost_hi = jnp.where(last, jnp.broadcast_to(x[-1:], from_next.shape),
                          from_next)
     return jnp.concatenate([ghost_lo, x, ghost_hi], axis=0)
+
+
+def halo_exchange_cols(x, width: int, axis_name: str):
+    """x-axis twin of ``halo_exchange_rows`` for 2-D domain decomposition:
+    pads ``width`` ghost COLUMNS from ring neighbors along ``axis_name``
+    (edge-replicated at the global x boundaries)."""
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    left = x[:, :width]
+    right = x[:, -width:]
+    from_prev = jax.lax.ppermute(right, axis_name,
+                                 [(i, (i + 1) % n) for i in range(n)])
+    from_next = jax.lax.ppermute(left, axis_name,
+                                 [(i, (i - 1) % n) for i in range(n)])
+    first = idx == 0
+    last = idx == n - 1
+    ghost_lo = jnp.where(first, jnp.broadcast_to(x[:, :1], from_prev.shape),
+                         from_prev)
+    ghost_hi = jnp.where(last, jnp.broadcast_to(x[:, -1:], from_next.shape),
+                         from_next)
+    return jnp.concatenate([ghost_lo, x, ghost_hi], axis=1)

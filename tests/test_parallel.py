@@ -130,3 +130,42 @@ def test_sharded_conservation():
     m_in = float(np.sum(np.asarray(fE[0], np.float64) * np.asarray(ive.Mw, np.float64)))
     m_del = float(np.sum(np.asarray(fI[0], np.float64) * np.asarray(ive.wM, np.float64)))
     assert abs(m_in - m_del) / abs(m_in) < 1e-6   # f32 transport noise
+
+
+def test_2d_sharded_step_matches_single_device():
+    """(2, 4) 2-D decomposition: shared tile set applied both ways, halos
+    on both axes, psum over the mesh -- trajectory equals single-device."""
+    import dataclasses
+    from icebin_tpu.parallel.coupled import (make_mesh_2d,
+                                             make_sharded_step_2d,
+                                             shard_coupled_setup_2d)
+
+    gr, ice_cfg, state, ive, evi = setup_sharded(nx=256, ny=16)
+    mesh = make_mesh_2d((4, 2))   # 4-way y, 2-way x (x shards need 128-cell blocks)
+    ops = shard_coupled_setup_2d(mesh, evi, state, ice_cfg)
+    dt = 86400.0 * 30
+    fn = make_sharded_step_2d(mesh, ice_cfg, gr.nE, dt)
+    rng = np.random.default_rng(0)
+    fE = jnp.asarray(np.stack([1e-5 * rng.uniform(0.5, 1, gr.nE),
+                               np.full(gr.nE, 300.0)]), jnp.float32)
+    fac = jnp.ones(2, jnp.float32)
+    off = jnp.zeros(2, jnp.float32)
+    H1, fI, fE_out = fn(ops, fE, fac, off)
+
+    from icebin_tpu.ops.bdt import apply_bdt, apply_bdt_T
+    fI_ref = apply_bdt_T(evi, fE, scale=True, fill=jnp.nan)
+    smb = jnp.where(jnp.isfinite(fI_ref[0]), fI_ref[0], 0.0)
+    st_ref = step(ice_cfg, state, smb, dt)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(st_ref.H),
+                               atol=1e-5)
+    fI_ref0 = np.where(np.isfinite(np.asarray(fI_ref)),
+                       np.asarray(fI_ref), 0.0)
+    np.testing.assert_allclose(np.asarray(fI), fI_ref0, atol=1e-7)
+    icy = np.asarray(st_ref.H).reshape(-1) > 1.0
+    outI = np.stack([np.where(icy, np.asarray(st_ref.surface).reshape(-1), 0.0),
+                     np.where(icy, np.asarray(st_ref.H).reshape(-1), 0.0),
+                     icy.astype(np.float32)])
+    fE_ref = apply_bdt(evi, jnp.asarray(outI), scale=True, fill=jnp.nan)
+    a, b = np.asarray(fE_out), np.asarray(fE_ref)
+    ok = np.isfinite(b)
+    np.testing.assert_allclose(a[ok], b[ok], atol=1e-4)
