@@ -159,3 +159,23 @@ def test_bdt_transposed_apply_shares_tiles():
     want2 = M.apply(fI)
     ok2 = np.isfinite(want2)
     np.testing.assert_allclose(got2[ok2], want2[ok2], rtol=1e-12)
+
+
+def test_bdt_smoothed_matrix():
+    """Device apply of a sigma-smoothed matrix (denser stencil composition)."""
+    from icebin_tpu.ops.bdt import apply_bdt, bdt_from_weighted
+    from helpers import toy_elevmask, toy_regridder
+    gr = toy_regridder(nI=(48, 48), nA=(5, 5))
+    specI = gr.sheets["toy"].specI
+    elev = toy_elevmask(specI)
+    rm = gr.regrid_matrices("toy", elev)
+    dx = float(np.diff(specI.xb)[0])
+    M = rm.matrix("IvE", RegridParams(scale=True, correctA=False,
+                                      sigma=(2 * dx, 2 * dx)))
+    bm = bdt_from_weighted(M, small_axis="cols", dtype=jnp.float64)
+    rng = np.random.default_rng(21)
+    f = rng.uniform(1, 2, (2, M.shape[1]))
+    got = np.asarray(apply_bdt(bm, jnp.asarray(f)))
+    want = M.apply(f)
+    ok = np.isfinite(want)
+    np.testing.assert_allclose(got[ok], want[ok], rtol=1e-12)
