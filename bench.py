@@ -1,12 +1,13 @@
 """Driver benchmark: ONE JSON line with the flagship SpMM throughput.
 
-Measures the BDT regrid apply (EvI o IvE round trips, 8 fields, f32) on
-the REAL SeaRISE Greenland 5 km x ModelE 2x2.5 matrix set with 5 elevation
-classes (BASELINE.json config #3 -- the north star's named end-to-end
-target), exchange grid built by the native C++ engine, on the real TPU
-chip.  (Multi-sheet config #5 runs in tests/test_multisheet.py; a
-pole-centered sheet rides the slower scatter fallback and would dilute the
-headline bandwidth with a latency-bound small-matrix leg.)
+Measures the fused Pallas BDT regrid apply (EvI o IvE round trips, 8
+fields, f32; icebin_tpu.ops.pallas_bdt) on the REAL SeaRISE Greenland 5 km
+x ModelE 2x2.5 matrix set with 5 elevation classes (BASELINE.json config
+#3 -- the north star's named end-to-end target), exchange grid built by
+the native C++ engine, on the real TPU chip.  (Multi-sheet config #5 runs
+in tests/test_multisheet.py; a pole-centered sheet rides the slower
+scatter fallback and would dilute the headline bandwidth with a
+latency-bound small-matrix leg.)
 
 Methodology notes (see .claude/skills/verify/SKILL.md):
 * block_until_ready is unreliable through the axon relay and a sync fetch
@@ -14,9 +15,12 @@ Methodology notes (see .claude/skills/verify/SKILL.md):
   jit and is synced once by fetching a scalar that depends on the output.
 * conservation is asserted (f64, < 1e-10) before timing -- a fast wrong
   answer must fail the bench.
+* byte accounting counts what one round trip actually streams (tiles twice
+  -- once per direction -- products/window intermediates, fields, E3).
 * vs_baseline = achieved / (0.70 * nominal HBM roof): 1.0 == the north-star
   target "SpMV >= 70% of HBM roof" (BASELINE.md).  No reference numbers
-  exist (reference publishes none).
+  exist (reference publishes none).  Measured practical stream roof on the
+  attached v5e is ~740 GB/s r+w (tools/bench_roof.py).
 """
 import json
 import sys
@@ -43,9 +47,8 @@ def nominal_roof():
 
 
 def build_matrices():
-    import jax.numpy as jnp
     from icebin_tpu.grid.spec import GridSpecXY, modele_lonlat_grid
-    from icebin_tpu.ops.bdt import bdt_from_weighted
+    from icebin_tpu.ops.pallas_bdt import pallas_from_weighted
     from icebin_tpu.regrid.gcmregridder import GCMRegridder
     from icebin_tpu.regrid.matrices import RegridParams
 
@@ -65,36 +68,35 @@ def build_matrices():
         c = specI.cell_centers()
         ex = (np.ptp(specI.xb) / 2.2, np.ptp(specI.yb) / 2.2)
         r2 = (((c[:, 0] - specI.xb.mean()) / ex[0]) ** 2
-              + ((c[:, 1] - specI.yb.mean()) / ex[1]) ** 2)
+              + (((c[:, 1] - specI.yb.mean()) / ex[1]) ** 2))
         elev = np.where(r2 < 1.0, 3500.0 * (1.0 - r2), np.nan)
         rm = gr.regrid_matrices(name, elev)
         Me = rm.matrix("EvI", P)
         Mi = rm.matrix("IvE", P)
-        # one tile set serves both directions (exact transposes)
-        import dataclasses
-        evi = bdt_from_weighted(Me, small_axis="rows")
-        ive = dataclasses.replace(evi, transposed=not evi.transposed)
-        out[name] = (evi, ive, Me, Mi)
+        # ONE Pallas tile set serves both directions (exact transposes)
+        pm = pallas_from_weighted(Me, small_axis="rows", nv=NVAR)
+        out[name] = (pm, Me, Mi)
     return out
 
 
 def main():
     import jax
-    # f64 is supported (emulated) on TPU and carries the conservation
-    # accounting; hot arrays are all explicitly f32.
-    jax.config.update("jax_enable_x64", True)
+    # Global x64 breaks Mosaic grid-index legalization, so it stays OFF;
+    # the f64 conservation-repair gate runs under a scoped enable_x64
+    # context (hot arrays are all explicitly f32 either way).
     import jax.numpy as jnp
     from icebin_tpu.coupler.ledger import repair_mass
-    from icebin_tpu.ops.bdt import apply_bdt
+    from icebin_tpu.ops.pallas_bdt import (apply_small, apply_small_blocked,
+                                           apply_ice_blocked)
 
     mats = build_matrices()
     rng = np.random.default_rng(0)
 
     # conservation gates per sheet (host f64 oracle vs device f32 apply,
     # then the f64-repaired runtime path at the north-star bound)
-    for name, (evi, ive, Me, Mi) in mats.items():
+    for name, (pm, Me, Mi) in mats.items():
         f1 = np.asarray(rng.uniform(1.0, 2.0, Me.shape[1]))
-        dev = np.asarray(apply_bdt(evi, jnp.asarray(f1, jnp.float32)),
+        dev = np.asarray(apply_small(pm, jnp.asarray(f1, jnp.float32)),
                          np.float64)
         m_dev = np.nansum(np.where(np.isfinite(dev), dev, 0.0) * Me.wM)
         m_src = np.sum(f1 * Me.Mw)
@@ -104,45 +106,44 @@ def main():
                               "vs_baseline": 0.0,
                               "error": f"conservation gate failed: {name}"}))
             return
-        rep = repair_mass(jnp.asarray(np.where(np.isfinite(dev), dev, 0.0),
-                                      jnp.float64)[None],
-                          jnp.asarray(Me.wM), jnp.asarray([m_src]))
-        m_rep = float(jnp.sum(rep[0] * jnp.asarray(Me.wM)))
+        with jax.enable_x64(True):
+            rep = repair_mass(
+                jnp.asarray(np.where(np.isfinite(dev), dev, 0.0),
+                            jnp.float64)[None],
+                jnp.asarray(Me.wM), jnp.asarray([m_src]))
+            m_rep = float(jnp.sum(rep[0] * jnp.asarray(Me.wM)))
         assert abs(m_rep - m_src) / abs(m_src) < 1e-10, "repair gate failed"
 
-    pairs = [(evi, ive) for (evi, ive, _, _) in mats.values()]
-    fIs = [jnp.asarray(rng.uniform(0.5, 1.5, (NVAR, evi.nice)), jnp.float32)
-           for (evi, ive) in pairs]
+    pms = [pm for (pm, _, _) in mats.values()]
+    fbs = [pm.ice_to_blocked(
+               jnp.asarray(rng.uniform(0.5, 1.5, (NVAR, pm.nice)),
+                           jnp.float32))
+           for pm in pms]
 
     @jax.jit
     def chain(ms, fs):
         def body(c, _):
             out = []
-            for (evi_m, ive_m), f in zip(ms, c):
-                e = apply_bdt(evi_m, f, scale=True, fill=0.0)
-                out.append(apply_bdt(ive_m, e, scale=True, fill=0.0))
+            for pm, fb in zip(ms, c):
+                e3 = apply_small_blocked(pm, fb, scale=True)
+                out.append(apply_ice_blocked(pm, e3, scale=True))
             return tuple(out), ()
         c, _ = jax.lax.scan(body, tuple(fs), None, length=N_REPS)
         return sum(x.sum() for x in c)
 
-    float(chain(pairs, fIs))                 # compile + warm
+    float(chain(pms, fbs))                   # compile + warm
     ts = []
     for _ in range(2):
         t0 = time.perf_counter()
-        float(chain(pairs, fIs))
+        float(chain(pms, fbs))
         ts.append(time.perf_counter() - t0)
     lat = 0.027                               # relay sync latency (measured)
     per_rt = max((min(ts) - lat) / N_REPS, 1e-9)
 
     # both directions stream the SAME tile set; each round trip still
     # reads it twice (once per direction)
-    tile_bytes = sum(2 * evi.tiles.size * 4
-                     + (0 if evi.scat_onehot is None
-                        else 2 * evi.scat_onehot.size * 4)
-                     for evi, ive in pairs)
-    io_bytes = sum(2 * (NVAR * evi.nice * 4) + 2 * (NVAR * evi.nsmall * 4)
-                   for evi, ive in pairs)
-    gbps = (tile_bytes + io_bytes) / per_rt / 1e9
+    rt_bytes = sum(2 * pm.stream_bytes for pm in pms)
+    gbps = rt_bytes / per_rt / 1e9
     roof = nominal_roof()
     print(json.dumps({"metric": "regrid_spmm_effective_GBps",
                       "value": round(gbps, 2), "unit": "GB/s",

@@ -1,0 +1,514 @@
+"""Fused Pallas TPU kernels for the BDT regrid apply — the flagship SpMM.
+
+The XLA BDT path (``icebin_tpu.ops.bdt``) already avoids ice-space gathers,
+but at config-#3 scale (real Greenland 5 km) it loses ~10x to op overheads:
+the banded one-hot scatter machinery materializes products, transposes, and
+band intermediates as separate HBM round trips (measured 1.66 ms per EvI∘IvE
+round trip vs a ~0.2 ms stream bound; tools/profile_cfg3.py; measured stream
+roof ~740 GB/s r+w, tools/bench_roof.py).
+
+Design: each apply direction is TWO Pallas kernels glued by an XLA reshape
+that is free in row-major layout (Mosaic cannot shape-cast sublanes→lanes
+in-kernel, so the (tiles, 8, NV)→(tiles, 8*NV) fold happens between kernels
+where it costs nothing):
+
+dest-small (EvI/AvI):
+  A1 `prods`: stream tiles2 (nblk, T*8, 128); per ice block a single MXU
+     contraction against the blocked field (nblk, NV, 128) → products
+     (nblk, T*8, NV).   [all the HBM bytes; no irregularity]
+  -- XLA reshape (free): (nblk, T*8, NV) → (nblk*T, 8*NV) tile rows
+  A2 `scatter`: per chunk of C2 tile rows, build the window one-hot ON THE
+     FLY from offsets (iota compare) and matmul it with the products,
+     accumulating into a VMEM-resident E3 window-layout accumulator:
+     E3[w, r*NV+v] = E[v, w*8+r].   [small: reads 3 MB, no HBM one-hot]
+
+dest-ice (IvE/IvA) is the exact reverse:
+  B1 `gather`: one-hot-transpose matmul of E3 bands → fwin (nblk*T, 8*NV)
+  -- XLA reshape (free) → (nblk, T*8, NV)
+  B2 `contract`: stream tiles2, per-block MXU contraction with fwin →
+     blocked ice output (nblk, NV, 128), scaled in-kernel.
+
+E stays in E3 layout and ice fields in blocked layout across a coupling
+round trip, so the directions compose with zero glue. Out-of-band tiles
+(windows beyond the per-chunk band cap W8, e.g. polar blocks touching
+dozens of tiny A cells) are demoted at build time to a COO overflow handled
+by a small XLA epilogue, keeping the kernels total and branch-free.
+
+Reference parity: TPU replacement for Eigen SpMV in ``ibmisc
+linear::Weighted_Eigen::apply_M`` [U] (SURVEY.md §2 'linear::Weighted',
+§7 stage 4 flagship kernel).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from icebin_tpu.ops.bdt import BDTMatrix, TILE_C, TILE_R
+
+__all__ = ["PallasBDT", "pallas_from_bdt", "pallas_from_weighted",
+           "apply_small", "apply_ice", "apply_small_blocked",
+           "apply_ice_blocked"]
+
+HIGH = jax.lax.Precision.HIGHEST
+W8_CAP = 2048        # max window slots per chunk band (VMEM: W8*NV8*512 B)
+BLK_CHUNK = 64       # ice blocks per scatter/gather chunk (C2 = BLK_CHUNK*T)
+BLK_STEP = 8         # ice blocks per streaming-kernel grid step
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PallasBDT:
+    """Device arrays + static geometry for the fused BDT kernels.
+
+    Canonical orientation is (small x ice); both directions are served by
+    the same tile set (the unscaled A/E<->I matrices are exact transposes).
+    """
+
+    tiles2: jnp.ndarray       # (nblkpad, T*8, 128) f32
+    w_off: jnp.ndarray        # (nchunk*8, C2) int32 window - base8 (rows
+                              # repeated 8x: Mosaic block-tiling rule)
+    w_offT: jnp.ndarray       # (nchunk*C2, 1) int32 (sublane-major copy)
+    base: jnp.ndarray         # (nchunk,) int32 8-aligned band starts
+    winvS_e3: jnp.ndarray     # (NWpad, 8*NV) f32 1/wS in E3 layout (0 if w=0)
+    winvI_blk: jnp.ndarray    # (nblkpad, 1, 128) f32 1/wI blocked (0 if w=0)
+    wS: jnp.ndarray           # (nsmall,) f32
+    wI: jnp.ndarray           # (nice,) f32
+    # overflow COO (None if empty): small rows s, ice cols c, vals
+    ov_s: Optional[jnp.ndarray]
+    ov_c: Optional[jnp.ndarray]
+    ov_v: Optional[jnp.ndarray]
+    # static geometry
+    T: int
+    W8: int
+    NV: int
+    nchunk: int
+    nblk: int
+    nblkpad: int
+    NWpad: int
+    nsmall: int
+    nice: int
+
+    _STATIC = ("T", "W8", "NV", "nchunk", "nblk", "nblkpad", "NWpad",
+               "nsmall", "nice")
+    _ARRAYS = ("tiles2", "w_off", "w_offT", "base", "winvS_e3", "winvI_blk",
+               "wS", "wI", "ov_s", "ov_c", "ov_v")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, n) for n in self._ARRAYS),
+                tuple(getattr(self, n) for n in self._STATIC))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch, *aux)
+
+    @property
+    def stream_bytes(self) -> int:
+        """HBM bytes one apply direction actually moves (for rooflines)."""
+        return int(self.tiles2.size * 4                       # tiles
+                   + 2 * self.nblkpad * self.T * TILE_R * self.NV * 4
+                   + self.nblkpad * self.NV * TILE_C * 4      # ice field
+                   + self.NWpad * TILE_R * self.NV * 4)       # E3
+
+    # ---- layout conversions (XLA, used once per chain) ----
+
+    def ice_to_blocked(self, f):
+        """(NV, nice) → (nblkpad, NV, 128); non-finite → 0."""
+        f = jnp.where(jnp.isfinite(f), f, 0.0).astype(jnp.float32)
+        pad = self.nblkpad * TILE_C - self.nice
+        return jnp.pad(f, ((0, 0), (0, pad))).reshape(
+            self.NV, self.nblkpad, TILE_C).transpose(1, 0, 2)
+
+    def blocked_to_ice(self, fb):
+        """(nblkpad, NV, 128) → (NV, nice)."""
+        return fb.transpose(1, 0, 2).reshape(self.NV, -1)[:, :self.nice]
+
+    def small_to_e3(self, f):
+        """(NV, nsmall) → (NWpad, 8*NV); non-finite → 0."""
+        f = jnp.where(jnp.isfinite(f), f, 0.0).astype(jnp.float32)
+        pad = self.NWpad * TILE_R - self.nsmall
+        f3 = jnp.pad(f, ((0, 0), (0, pad))).reshape(self.NV, self.NWpad,
+                                                    TILE_R)
+        return f3.transpose(1, 2, 0).reshape(self.NWpad, TILE_R * self.NV)
+
+    def e3_to_small(self, e3):
+        """(NWpad, 8*NV) → (NV, nsmall)."""
+        f3 = e3.reshape(self.NWpad, TILE_R, self.NV).transpose(2, 0, 1)
+        return f3.reshape(self.NV, -1)[:, :self.nsmall]
+
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+
+def pallas_from_bdt(bm: BDTMatrix, nv: int = 8) -> PallasBDT:
+    """Re-pack an XLA BDTMatrix into the fused-kernel layout.
+
+    Tiles whose window falls outside their chunk's W8 band are demoted to
+    the COO overflow (zeroed in the tile array), keeping the kernels total;
+    the band cap W8 is the max in-band spread across chunks.
+    """
+    tiles = np.asarray(bm.tiles, np.float32).copy()   # (nblk, T, 8, 128)
+    row_start = np.asarray(bm.row_start, np.int64)
+    nblk, T = row_start.shape
+    nsmall, nice = bm.nsmall, bm.nice
+    NV = nv
+    w = row_start // TILE_R                           # window ids (nblk, T)
+
+    nchunk = -(-nblk // BLK_CHUNK)
+    nblkpad = nchunk * BLK_CHUNK
+    if nblkpad > nblk:
+        padt = np.zeros((nblkpad - nblk, T, TILE_R, TILE_C), np.float32)
+        tiles = np.concatenate([tiles, padt], axis=0)
+        w = np.concatenate(
+            [w, np.repeat(w[-1:, :], nblkpad - nblk, axis=0)], axis=0)
+
+    # real tiles = nonzero ones (dead slots are all-zero by construction)
+    real = np.abs(tiles).sum(axis=(2, 3)) > 0         # (nblkpad, T)
+
+    C2 = BLK_CHUNK * T
+    ws = w.reshape(nchunk, C2)
+    rs = real.reshape(nchunk, C2)
+    base = np.zeros(nchunk, np.int64)
+    for k in range(nchunk):
+        if rs[k].any():
+            base[k] = ws[k][rs[k]].min()
+    base8 = (base // TILE_R) * TILE_R
+    off = ws - base8[:, None]
+
+    # spread of REAL tiles decides W8; out-of-band ones demote to overflow
+    spread = np.where(rs, off, 0)
+    W8 = int(min(max(int(spread.max(initial=0)) + 1, TILE_R), W8_CAP))
+    W8 = -(-W8 // TILE_R) * TILE_R
+
+    oob = rs & (off >= W8)
+    ex_s, ex_c, ex_v = [], [], []
+    if oob.any():
+        ob, ot = np.nonzero(oob.reshape(nblkpad, T))
+        for b, t in zip(ob, ot):
+            tv = tiles[b, t]
+            rr, cc = np.nonzero(tv)
+            ex_s.append(w[b, t] * TILE_R + rr)
+            ex_c.append(b * TILE_C + cc)
+            ex_v.append(tv[rr, cc])
+            tiles[b, t] = 0.0
+    ov_s = [np.asarray(bm.ov_rows)] if bm.ov_rows is not None else []
+    ov_c = [np.asarray(bm.ov_cols)] if bm.ov_cols is not None else []
+    ov_v = [np.asarray(bm.ov_vals)] if bm.ov_vals is not None else []
+    ov_s = np.concatenate(ov_s + ex_s) if (ov_s or ex_s) else None
+    ov_c = np.concatenate(ov_c + ex_c) if (ov_c or ex_c) else None
+    ov_v = np.concatenate(ov_v + ex_v) if (ov_v or ex_v) else None
+
+    NW = -(-nsmall // TILE_R)
+    NWpad = max(NW, int(base8.max(initial=0)) + W8)
+    NWpad = -(-NWpad // TILE_R) * TILE_R
+
+    wS = np.asarray(bm.wS, np.float64)
+    wI = np.asarray(bm.wI, np.float64)
+    winvS = np.where(wS != 0, 1.0 / np.where(wS != 0, wS, 1.0), 0.0)
+    winvI = np.where(wI != 0, 1.0 / np.where(wI != 0, wI, 1.0), 0.0)
+    wvs = np.zeros(NWpad * TILE_R)
+    wvs[:nsmall] = winvS
+    winvS_e3 = np.repeat(wvs.reshape(NWpad, TILE_R), NV,
+                         axis=1).astype(np.float32)
+    wvi = np.zeros(nblkpad * TILE_C)
+    wvi[:nice] = winvI
+    winvI_blk = wvi.reshape(nblkpad, 1, TILE_C).astype(np.float32)
+
+    offc = np.clip(off, -2**30, 2**30).astype(np.int32)
+    return PallasBDT(
+        tiles2=jnp.asarray(tiles.reshape(nblkpad, T * TILE_R, TILE_C)),
+        w_off=jnp.asarray(np.repeat(offc, TILE_R, axis=0)),
+        w_offT=jnp.asarray(offc.reshape(nchunk * C2, 1)),
+        base=jnp.asarray(base8.astype(np.int32)),
+        winvS_e3=jnp.asarray(winvS_e3),
+        winvI_blk=jnp.asarray(winvI_blk),
+        wS=jnp.asarray(wS, jnp.float32), wI=jnp.asarray(wI, jnp.float32),
+        ov_s=None if ov_s is None else jnp.asarray(ov_s, jnp.int32),
+        ov_c=None if ov_c is None else jnp.asarray(ov_c, jnp.int32),
+        ov_v=None if ov_v is None else jnp.asarray(ov_v, jnp.float32),
+        T=T, W8=W8, NV=NV, nchunk=nchunk, nblk=nblk, nblkpad=nblkpad,
+        NWpad=NWpad, nsmall=int(nsmall), nice=int(nice))
+
+
+def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
+                         max_tiles_per_block=None) -> PallasBDT:
+    """Build the fused-kernel form straight from a WeightedMatrix.
+
+    Unlike the XLA path (whose p97 T-cap trades padding for a cheap COO
+    overflow), the default here is the EXACT max windows/block: the fused
+    kernels stream padding at ~roof, while the XLA scatter epilogue for
+    overflow costs ~100x its byte count (measured 255 us for 765 entries).
+    Pathological polar blocks still demote via the W8 band cap.
+    """
+    from icebin_tpu.ops.bdt import bdt_from_weighted
+    if max_tiles_per_block is None:
+        s = M.rows if small_axis == "rows" else M.cols
+        i = M.cols if small_axis == "rows" else M.rows
+        nw = int(np.max(s) // TILE_R) + 2
+        cnt = np.bincount(np.unique((i // TILE_C) * nw + s // TILE_R) // nw)
+        max_tiles_per_block = int(cnt.max(initial=1))
+    bm = bdt_from_weighted(M, small_axis=small_axis,
+                           max_tiles_per_block=max_tiles_per_block)
+    return pallas_from_bdt(bm, nv=nv)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _prods_kernel(B, tiles_ref, f_ref, out_ref):
+    """A1: per-block MXU contraction, tiles x blocked field → products.
+
+    tiles_ref (B, T*8, 128); f_ref (B, NV, 128); out (B, T*8, NV).
+    """
+    for b in range(B):
+        out_ref[b] = jax.lax.dot_general(
+            tiles_ref[b], f_ref[b], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)
+
+
+def _scatter_kernel(W8, base_ref, p2_ref, woff_ref, out_ref):
+    """A2: one-hot band matmul accumulating tile rows into E3 windows."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p2 = p2_ref[:]                                  # (C2, 8*NV)
+    C2 = p2.shape[0]
+    woff = woff_ref[0:1, :]                         # (1, C2)
+    u = jax.lax.broadcasted_iota(jnp.int32, (W8, C2), 0)
+    oh = (woff == u).astype(jnp.float32)            # (W8, C2)
+    band = jax.lax.dot_general(
+        oh, p2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HIGH)   # (W8, 8*NV)
+    b8 = pl.multiple_of(base_ref[i], TILE_R)
+    out_ref[pl.ds(b8, W8), :] += band
+
+
+def _gather_kernel(W8, base_ref, e3_ref, woffT_ref, out_ref):
+    """B1: one-hot-transpose band matmul, E3 windows → per-tile rows."""
+    i = pl.program_id(0)
+    b8 = pl.multiple_of(base_ref[i], TILE_R)
+    band = e3_ref[pl.ds(b8, W8), :]                 # (W8, 8*NV)
+    woffT = woffT_ref[:]                            # (C2, 1)
+    C2 = woffT.shape[0]
+    u = jax.lax.broadcasted_iota(jnp.int32, (C2, W8), 1)
+    oh = (woffT == u).astype(jnp.float32)           # (C2, W8)
+    out_ref[:] = jax.lax.dot_general(
+        oh, band, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HIGH)   # (C2, 8*NV)
+
+
+def _contract_kernel(B, scale, fwin_ref, tiles_ref, winv_ref, out_ref):
+    """B2: per-block contraction of window rows with tiles → blocked ice."""
+    for b in range(B):
+        out = jax.lax.dot_general(
+            fwin_ref[b], tiles_ref[b], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)
+        if scale:
+            out = out * winv_ref[b]
+        out_ref[b] = out
+
+
+def _mk_prods(pm: PallasBDT, interpret: bool):
+    T8, NV, B = pm.T * TILE_R, pm.NV, BLK_STEP
+    nstep = pm.nblkpad // B
+    return pl.pallas_call(
+        functools.partial(_prods_kernel, B),
+        grid=(nstep,),
+        in_specs=[
+            pl.BlockSpec((B, T8, TILE_C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, NV, TILE_C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, T8, NV), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((pm.nblkpad, T8, NV), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pm.tiles2.size * NV,
+            bytes_accessed=pm.tiles2.size * 4, transcendentals=0),
+    )
+
+
+def _mk_scatter(pm: PallasBDT, interpret: bool):
+    C2, NV, W8 = BLK_CHUNK * pm.T, pm.NV, pm.W8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pm.nchunk,),
+        in_specs=[
+            pl.BlockSpec((C2, TILE_R * NV), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, C2), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel, W8), grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pm.NWpad, TILE_R * NV), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pm.nchunk * W8 * C2 * TILE_R * NV,
+            bytes_accessed=pm.nchunk * C2 * TILE_R * NV * 4,
+            transcendentals=0),
+    )
+
+
+def _mk_gather(pm: PallasBDT, interpret: bool):
+    C2, NV, W8 = BLK_CHUNK * pm.T, pm.NV, pm.W8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pm.nchunk,),
+        in_specs=[
+            pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2, 1), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C2, TILE_R * NV), lambda i, b: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, W8), grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pm.nchunk * C2, TILE_R * NV),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pm.nchunk * W8 * C2 * TILE_R * NV,
+            bytes_accessed=pm.nchunk * C2 * TILE_R * NV * 4,
+            transcendentals=0),
+    )
+
+
+def _mk_contract(pm: PallasBDT, scale: bool, interpret: bool):
+    T8, NV, B = pm.T * TILE_R, pm.NV, BLK_STEP
+    nstep = pm.nblkpad // B
+    return pl.pallas_call(
+        functools.partial(_contract_kernel, B, scale),
+        grid=(nstep,),
+        in_specs=[
+            pl.BlockSpec((B, T8, NV), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, T8, TILE_C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, TILE_C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, NV, TILE_C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((pm.nblkpad, NV, TILE_C),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pm.tiles2.size * NV,
+            bytes_accessed=pm.tiles2.size * 4, transcendentals=0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused applies (kernels + tiny XLA epilogue for overflow/scale)
+# ---------------------------------------------------------------------------
+
+def _ov_e3_ids(pm: PallasBDT):
+    """Flat E3 ids (NV, nov) of the overflow small rows."""
+    fbase = ((pm.ov_s // TILE_R) * (TILE_R * pm.NV)
+             + (pm.ov_s % TILE_R) * pm.NV)
+    return fbase[None, :] + jnp.arange(pm.NV, dtype=jnp.int32)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
+                        interpret: Optional[bool] = None):
+    """dest-small (EvI/AvI): blocked ice (nblkpad, NV, 128) → E3 layout.
+
+    Overflow entries and the weight scale ride a fused XLA epilogue on the
+    E3 accumulator (both are linear, so kernel part + overflow part scale
+    together).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    prods = _mk_prods(pm, interpret)(pm.tiles2, fb)
+    p2 = prods.reshape(pm.nblkpad * pm.T, TILE_R * pm.NV)   # free reshape
+    acc = _mk_scatter(pm, interpret)(pm.base, p2, pm.w_off)
+    if pm.ov_s is not None:
+        fI = pm.blocked_to_ice(fb)                          # (NV, nice)
+        g = jnp.take(fI, pm.ov_c, axis=1) * pm.ov_v[None, :]
+        ids = _ov_e3_ids(pm)
+        flat = jnp.zeros(pm.NWpad * TILE_R * pm.NV, jnp.float32)
+        flat = flat.at[ids.reshape(-1)].add(g.reshape(-1))
+        acc = acc + flat.reshape(pm.NWpad, TILE_R * pm.NV)
+    if scale:
+        acc = acc * pm.winvS_e3
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
+                      interpret: Optional[bool] = None):
+    """dest-ice (IvE/IvA): E3 layout → blocked ice (nblkpad, NV, 128)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    fwin = _mk_gather(pm, interpret)(pm.base, e3, pm.w_offT)
+    fwin3 = fwin.reshape(pm.nblkpad, pm.T * TILE_R, pm.NV)  # free reshape
+    out = _mk_contract(pm, scale, interpret)(fwin3, pm.tiles2, pm.winvI_blk)
+    if pm.ov_s is not None:
+        ids = _ov_e3_ids(pm)
+        g = jnp.take(e3.reshape(-1), ids.reshape(-1)).reshape(pm.NV, -1)
+        g = g * pm.ov_v[None, :]                            # (NV, nov)
+        # scatter into flat blocked out: (c//128)*NV*128 + v*128 + c%128
+        obase = ((pm.ov_c // TILE_C) * (pm.NV * TILE_C) + pm.ov_c % TILE_C)
+        oids = (obase[None, :]
+                + (jnp.arange(pm.NV, dtype=jnp.int32) * TILE_C)[:, None])
+        flat = jnp.zeros(pm.nblkpad * pm.NV * TILE_C, jnp.float32)
+        flat = flat.at[oids.reshape(-1)].add(g.reshape(-1))
+        ov = flat.reshape(pm.nblkpad, pm.NV, TILE_C)
+        if scale:
+            ov = ov * pm.winvI_blk
+        out = out + ov
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def apply_small(pm: PallasBDT, f, scale: bool = True,
+                interpret: Optional[bool] = None):
+    """(NV, nice) or (nice,) → (NV, nsmall): convenience wrapper."""
+    single = f.ndim == 1
+    fv = f[None, :] if single else f
+    nv_in = fv.shape[0]
+    if nv_in < pm.NV:
+        fv = jnp.pad(fv, ((0, pm.NV - nv_in), (0, 0)))
+    e3 = apply_small_blocked(pm, pm.ice_to_blocked(fv), scale=scale,
+                             interpret=interpret)
+    out = pm.e3_to_small(e3)[:nv_in]
+    return out[0] if single else out
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def apply_ice(pm: PallasBDT, f, scale: bool = True,
+              interpret: Optional[bool] = None):
+    """(NV, nsmall) or (nsmall,) → (NV, nice): convenience wrapper."""
+    single = f.ndim == 1
+    fv = f[None, :] if single else f
+    nv_in = fv.shape[0]
+    if nv_in < pm.NV:
+        fv = jnp.pad(fv, ((0, pm.NV - nv_in), (0, 0)))
+    out = apply_ice_blocked(pm, pm.small_to_e3(fv), scale=scale,
+                            interpret=interpret)
+    out = pm.blocked_to_ice(out)[:nv_in]
+    return out[0] if single else out

@@ -1,0 +1,99 @@
+"""Fused Pallas BDT kernels vs the COO oracle (interpret mode off-TPU).
+
+Covers both apply directions, scaling, masked (NaN) sources, overflow
+demotion via a tiny T cap, and the conservation identity.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icebin_tpu.regrid.sparse import WeightedMatrix
+from icebin_tpu.ops.pallas_bdt import (pallas_from_weighted, apply_small,
+                                       apply_ice)
+
+
+def synth(nx=256, ny=24, ratio=16, nhc=3, seed=0):
+    rng = np.random.default_rng(seed)
+    nI = nx * ny
+    ii = np.arange(nI)
+    ix, iy = ii % nx, ii // nx
+    nxa = -(-nx // ratio)
+    a = (iy // ratio) * nxa + ix // ratio
+    nA = nxa * (-(-ny // ratio))
+    elev = rng.uniform(0, 3400, nI)
+    hc = np.linspace(0, 3500, nhc)
+    k = np.clip(np.searchsorted(hc, elev) - 1, 0, nhc - 2)
+    t = (elev - hc[k]) / np.diff(hc)[0]
+    area = rng.uniform(20e6, 30e6, nI)
+    rows = np.concatenate([a * nhc + k, a * nhc + k + 1])
+    cols = np.concatenate([ii, ii])
+    vals = np.concatenate([area * (1 - t), area * t])
+    keep = rng.uniform(size=len(rows)) > 0.1
+    return WeightedMatrix(rows=rows[keep], cols=cols[keep], vals=vals[keep],
+                          shape=(nA * nhc, nI))
+
+
+def oracle_small(M, f):
+    f0 = np.where(np.isfinite(f), f, 0.0)
+    ref = np.zeros((f.shape[0], M.shape[0]))
+    np.add.at(ref.T, M.rows, (M.vals[None, :] * f0[:, M.cols]).T)
+    return np.where(M.wM != 0, ref / np.where(M.wM == 0, 1, M.wM), 0.0)
+
+
+def oracle_ice(M, g):
+    ref = np.zeros((g.shape[0], M.shape[1]))
+    np.add.at(ref.T, M.cols, (M.vals[None, :] * g[:, M.rows]).T)
+    return np.where(M.Mw != 0, ref / np.where(M.Mw == 0, 1, M.Mw), 0.0)
+
+
+@pytest.mark.parametrize("cap", [None, 2])
+def test_pallas_bdt_both_directions(cap):
+    M = synth()
+    pm = pallas_from_weighted(M, small_axis="rows", nv=8,
+                              max_tiles_per_block=cap)
+    if cap is not None:
+        assert pm.ov_s is not None and pm.ov_s.size > 0
+    else:
+        assert pm.ov_s is None
+    rng = np.random.default_rng(1)
+    f = rng.uniform(0.5, 1.5, (8, M.shape[1]))
+    f[0, ::7] = np.nan
+    got = np.asarray(apply_small(pm, jnp.asarray(f, jnp.float32)))
+    ref = oracle_small(M, f)
+    assert np.max(np.abs(got - ref) / (np.abs(ref) + 1e-9)) < 2e-5
+
+    g = rng.uniform(0.5, 1.5, (8, M.shape[0]))
+    gotI = np.asarray(apply_ice(pm, jnp.asarray(g, jnp.float32)))
+    refI = oracle_ice(M, g)
+    assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 2e-5
+
+
+def test_pallas_bdt_conservation():
+    M = synth(seed=3)
+    pm = pallas_from_weighted(M, small_axis="rows", nv=8)
+    rng = np.random.default_rng(2)
+    f = rng.uniform(1.0, 2.0, (8, M.shape[1]))
+    out = np.asarray(apply_small(pm, jnp.asarray(f, jnp.float32),
+                                 scale=False), np.float64)
+    lhs = out.sum(axis=1)
+    rhs = (f * M.Mw[None, :]).sum(axis=1)
+    assert np.max(np.abs(lhs - rhs) / np.abs(rhs)) < 1e-5
+
+
+def test_pallas_bdt_single_vector_and_layouts():
+    M = synth(seed=5)
+    pm = pallas_from_weighted(M, small_axis="rows", nv=8)
+    rng = np.random.default_rng(4)
+    f = rng.uniform(0.5, 1.5, M.shape[1])
+    got = np.asarray(apply_small(pm, jnp.asarray(f, jnp.float32)))
+    ref = oracle_small(M, f[None, :])[0]
+    assert got.shape == (M.shape[0],)
+    assert np.max(np.abs(got - ref) / (np.abs(ref) + 1e-9)) < 2e-5
+    # layout round trips
+    fb = pm.ice_to_blocked(jnp.asarray(np.tile(f, (8, 1)), jnp.float32))
+    back = np.asarray(pm.blocked_to_ice(fb))
+    assert np.allclose(back[0], np.where(np.isfinite(f), f, 0.0), atol=1e-6)
+    e = rng.uniform(0.5, 1.5, (8, M.shape[0]))
+    e3 = pm.small_to_e3(jnp.asarray(e, jnp.float32))
+    asm = np.asarray(pm.e3_to_small(e3))
+    assert np.allclose(asm, e, atol=1e-6)
