@@ -7,32 +7,40 @@ band intermediates as separate HBM round trips (measured 1.66 ms per EvI∘IvE
 round trip vs a ~0.2 ms stream bound; tools/profile_cfg3.py; measured stream
 roof ~740 GB/s r+w, tools/bench_roof.py).
 
-Design: each apply direction is TWO Pallas kernels glued by an XLA reshape
-that is free in row-major layout (Mosaic cannot shape-cast sublanes→lanes
-in-kernel, so the (tiles, 8, NV)→(tiles, 8*NV) fold happens between kernels
-where it costs nothing):
+Two design moves:
 
-dest-small (EvI/AvI):
-  A1 `prods`: stream tiles2 (nblk, T*8, 128); per ice block a single MXU
-     contraction against the blocked field (nblk, NV, 128) → products
-     (nblk, T*8, NV).   [all the HBM bytes; no irregularity]
-  -- XLA reshape (free): (nblk, T*8, NV) → (nblk*T, 8*NV) tile rows
-  A2 `scatter`: per chunk of C2 tile rows, build the window one-hot ON THE
-     FLY from offsets (iota compare) and matmul it with the products,
-     accumulating into a VMEM-resident E3 window-layout accumulator:
-     E3[w, r*NV+v] = E[v, w*8+r].   [small: reads 3 MB, no HBM one-hot]
+1. **Pseudo-blocks kill tile padding.** A fixed tiles-per-block cap T wastes
+   HBM bandwidth on zero tiles (Greenland 5 km: mean 5.6 windows/block, max
+   13 → 58% padding at T=max). Here each ice block is SPLIT into
+   pseudo-blocks of at most TS windows, all mapping to the same 128-cell ice
+   block through ``pseudo2blk``: the field input rides an XLA row-gather
+   (take) into pseudo order, and the dest-ice output is summed back with a
+   sorted segment-sum. Padding drops to < 20% at TS=4 with no COO overflow.
 
-dest-ice (IvE/IvA) is the exact reverse:
-  B1 `gather`: one-hot-transpose matmul of E3 bands → fwin (nblk*T, 8*NV)
-  -- XLA reshape (free) → (nblk, T*8, NV)
-  B2 `contract`: stream tiles2, per-block MXU contraction with fwin →
-     blocked ice output (nblk, NV, 128), scaled in-kernel.
+2. **Each apply direction is TWO Pallas kernels glued by an XLA reshape
+   that is free in row-major layout** (Mosaic cannot shape-cast
+   sublanes→lanes in-kernel, so the (tiles, 8, NV)→(tiles, 8*NV) fold
+   happens between kernels where it costs nothing):
+
+   dest-small (EvI/AvI):
+     A1 ``prods``: stream tiles2 (npseudo, TS*8, 128); per pseudo-block one
+        MXU contraction against the gathered field (npseudo, NV, 128) →
+        products (npseudo, TS*8, NV).  [all the HBM bytes; no irregularity]
+     -- XLA reshape (free): → (npseudo*TS, 8*NV) tile rows
+     A2 ``scatter``: per chunk of C2 tile rows, build the window one-hot ON
+        THE FLY from offsets (iota compare) and matmul it with the
+        products, accumulating into a VMEM-resident E3 window-layout
+        accumulator: E3[w, r*NV+v] = E[v, w*8+r].
+
+   dest-ice (IvE/IvA) is the exact reverse: B1 ``gather`` (one-hot
+   transpose band matmul out of E3) then B2 ``contract`` (tile stream,
+   per-pseudo-block MXU contraction), segment-sum to true blocks, scale.
 
 E stays in E3 layout and ice fields in blocked layout across a coupling
-round trip, so the directions compose with zero glue. Out-of-band tiles
-(windows beyond the per-chunk band cap W8, e.g. polar blocks touching
-dozens of tiny A cells) are demoted at build time to a COO overflow handled
-by a small XLA epilogue, keeping the kernels total and branch-free.
+round trip, so the directions compose with minimal glue. Tiles whose
+window falls outside their chunk's W8 band (pathological polar blocks) are
+demoted at build time to a COO overflow handled by a small XLA epilogue,
+keeping the kernels total and branch-free.
 
 Reference parity: TPU replacement for Eigen SpMV in ``ibmisc
 linear::Weighted_Eigen::apply_M`` [U] (SURVEY.md §2 'linear::Weighted',
@@ -57,9 +65,10 @@ __all__ = ["PallasBDT", "pallas_from_bdt", "pallas_from_weighted",
            "apply_ice_blocked"]
 
 HIGH = jax.lax.Precision.HIGHEST
-W8_CAP = 2048        # max window slots per chunk band (VMEM: W8*NV8*512 B)
-BLK_CHUNK = 64       # ice blocks per scatter/gather chunk (C2 = BLK_CHUNK*T)
-BLK_STEP = 8         # ice blocks per streaming-kernel grid step
+W8_CAP = 2048       # max window slots per chunk band (VMEM: W8*NV8*512 B)
+TS = 4              # windows per pseudo-block (the padding granularity)
+PS_CHUNK = 128      # pseudo-blocks per scatter/gather chunk (C2=PS_CHUNK*TS)
+BLK_STEP = 16       # pseudo-blocks per streaming-kernel grid step
 
 
 def _interpret_default() -> bool:
@@ -75,7 +84,8 @@ class PallasBDT:
     the same tile set (the unscaled A/E<->I matrices are exact transposes).
     """
 
-    tiles2: jnp.ndarray       # (nblkpad, T*8, 128) f32
+    tiles2: jnp.ndarray       # (npspad, TS*8, 128) f32 pseudo-block tiles
+    pseudo2blk: jnp.ndarray   # (npspad,) int32 true ice block of each pseudo
     w_off: jnp.ndarray        # (nchunk*8, C2) int32 window - base8 (rows
                               # repeated 8x: Mosaic block-tiling rule)
     w_offT: jnp.ndarray       # (nchunk*C2, 1) int32 (sublane-major copy)
@@ -89,20 +99,21 @@ class PallasBDT:
     ov_c: Optional[jnp.ndarray]
     ov_v: Optional[jnp.ndarray]
     # static geometry
-    T: int
+    ts: int                   # windows per pseudo-block
     W8: int
     NV: int
     nchunk: int
-    nblk: int
-    nblkpad: int
+    npspad: int               # padded pseudo-block count
+    nblk: int                 # true ice blocks (unpadded)
+    nblkpad: int              # true ice blocks padded (blocked layout rows)
     NWpad: int
     nsmall: int
     nice: int
 
-    _STATIC = ("T", "W8", "NV", "nchunk", "nblk", "nblkpad", "NWpad",
-               "nsmall", "nice")
-    _ARRAYS = ("tiles2", "w_off", "w_offT", "base", "winvS_e3", "winvI_blk",
-               "wS", "wI", "ov_s", "ov_c", "ov_v")
+    _STATIC = ("ts", "W8", "NV", "nchunk", "npspad", "nblk", "nblkpad",
+               "NWpad", "nsmall", "nice")
+    _ARRAYS = ("tiles2", "pseudo2blk", "w_off", "w_offT", "base",
+               "winvS_e3", "winvI_blk", "wS", "wI", "ov_s", "ov_c", "ov_v")
 
     def tree_flatten(self):
         return (tuple(getattr(self, n) for n in self._ARRAYS),
@@ -115,9 +126,11 @@ class PallasBDT:
     @property
     def stream_bytes(self) -> int:
         """HBM bytes one apply direction actually moves (for rooflines)."""
-        return int(self.tiles2.size * 4                       # tiles
-                   + 2 * self.nblkpad * self.T * TILE_R * self.NV * 4
-                   + self.nblkpad * self.NV * TILE_C * 4      # ice field
+        nps_tiles = self.npspad * self.ts * TILE_R
+        return int(self.tiles2.size * 4                  # tile stream
+                   + 2 * nps_tiles * self.NV * 4         # prods/fwin w+r
+                   + 2 * self.npspad * self.NV * TILE_C * 4   # gathered fld
+                   + self.nblkpad * self.NV * TILE_C * 4      # true field
                    + self.NWpad * TILE_R * self.NV * 4)       # E3
 
     # ---- layout conversions (XLA, used once per chain) ----
@@ -151,34 +164,56 @@ class PallasBDT:
 # builder
 # ---------------------------------------------------------------------------
 
-def pallas_from_bdt(bm: BDTMatrix, nv: int = 8) -> PallasBDT:
-    """Re-pack an XLA BDTMatrix into the fused-kernel layout.
+def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
+    """Re-pack an XLA BDTMatrix into the pseudo-block fused-kernel layout.
 
-    Tiles whose window falls outside their chunk's W8 band are demoted to
-    the COO overflow (zeroed in the tile array), keeping the kernels total;
-    the band cap W8 is the max in-band spread across chunks.
+    ``bm`` should be built with ``max_tiles_per_block`` = the exact max so
+    no windows were demoted to its COO overflow (``pallas_from_weighted``
+    does this); any overflow it does carry is passed through.
     """
-    tiles = np.asarray(bm.tiles, np.float32).copy()   # (nblk, T, 8, 128)
+    tiles = np.asarray(bm.tiles, np.float32)          # (nblk, T, 8, 128)
     row_start = np.asarray(bm.row_start, np.int64)
     nblk, T = row_start.shape
     nsmall, nice = bm.nsmall, bm.nice
     NV = nv
     w = row_start // TILE_R                           # window ids (nblk, T)
+    real = np.abs(tiles).sum(axis=(2, 3)) > 0         # (nblk, T)
 
-    nchunk = -(-nblk // BLK_CHUNK)
-    nblkpad = nchunk * BLK_CHUNK
-    if nblkpad > nblk:
-        padt = np.zeros((nblkpad - nblk, T, TILE_R, TILE_C), np.float32)
-        tiles = np.concatenate([tiles, padt], axis=0)
-        w = np.concatenate(
-            [w, np.repeat(w[-1:, :], nblkpad - nblk, axis=0)], axis=0)
+    # pseudo-block assignment: rank of each real slot within its block
+    rank = np.cumsum(real, axis=1) - 1                # valid where real
+    cnt = real.sum(axis=1)                            # windows per block
+    nps_b = -(-cnt // ts)                             # pseudo-blocks per blk
+    nps_b = np.maximum(nps_b, 0)
+    ps_off = np.concatenate([[0], np.cumsum(nps_b)[:-1]])
+    nps = int(nps_b.sum())
+    npspad = max(-(-nps // PS_CHUNK) * PS_CHUNK, PS_CHUNK)
 
-    # real tiles = nonzero ones (dead slots are all-zero by construction)
-    real = np.abs(tiles).sum(axis=(2, 3)) > 0         # (nblkpad, T)
+    bb, tt = np.nonzero(real)
+    pid = (ps_off[bb] + rank[bb, tt] // ts).astype(np.int64)
+    slot = (rank[bb, tt] % ts).astype(np.int64)
 
-    C2 = BLK_CHUNK * T
-    ws = w.reshape(nchunk, C2)
-    rs = real.reshape(nchunk, C2)
+    tiles_ps = np.zeros((npspad, ts, TILE_R, TILE_C), np.float32)
+    tiles_ps[pid, slot] = tiles[bb, tt]
+    w_ps = np.zeros((npspad, ts), np.int64)
+    w_ps[pid, slot] = w[bb, tt]
+    # dead slots inherit their pseudo-block's first window (band narrowness)
+    first = np.zeros(npspad, np.int64)
+    first[pid[slot == 0]] = w[bb[slot == 0], tt[slot == 0]]
+    realp = np.zeros((npspad, ts), bool)
+    realp[pid, slot] = True
+    w_ps = np.where(realp, w_ps, first[:, None])
+    pseudo2blk = np.zeros(npspad, np.int64)
+    pseudo2blk[pid] = bb
+
+    nblkpad = -(-nblk // TILE_R) * TILE_R
+    pseudo2blk[~np.isin(np.arange(npspad), pid)] = nblkpad - 1  # trash rows
+    # (zero tiles make trash contributions exact zeros)
+
+    # chunking over pseudo rows for the scatter/gather band kernels
+    C2 = PS_CHUNK * ts
+    nchunk = npspad // PS_CHUNK
+    ws = w_ps.reshape(nchunk, C2)
+    rs = realp.reshape(nchunk, C2)
     base = np.zeros(nchunk, np.int64)
     for k in range(nchunk):
         if rs[k].any():
@@ -186,7 +221,6 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8) -> PallasBDT:
     base8 = (base // TILE_R) * TILE_R
     off = ws - base8[:, None]
 
-    # spread of REAL tiles decides W8; out-of-band ones demote to overflow
     spread = np.where(rs, off, 0)
     W8 = int(min(max(int(spread.max(initial=0)) + 1, TILE_R), W8_CAP))
     W8 = -(-W8 // TILE_R) * TILE_R
@@ -194,14 +228,16 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8) -> PallasBDT:
     oob = rs & (off >= W8)
     ex_s, ex_c, ex_v = [], [], []
     if oob.any():
-        ob, ot = np.nonzero(oob.reshape(nblkpad, T))
-        for b, t in zip(ob, ot):
-            tv = tiles[b, t]
+        t_ps = tiles_ps.reshape(nchunk, C2, TILE_R, TILE_C)
+        p2b = pseudo2blk.reshape(nchunk, PS_CHUNK)
+        ok, oc = np.nonzero(oob)
+        for k, c in zip(ok, oc):
+            tv = t_ps[k, c]
             rr, cc = np.nonzero(tv)
-            ex_s.append(w[b, t] * TILE_R + rr)
-            ex_c.append(b * TILE_C + cc)
+            ex_s.append(ws[k, c] * TILE_R + rr)
+            ex_c.append(p2b[k, c // ts] * TILE_C + cc)
             ex_v.append(tv[rr, cc])
-            tiles[b, t] = 0.0
+            t_ps[k, c] = 0.0
     ov_s = [np.asarray(bm.ov_rows)] if bm.ov_rows is not None else []
     ov_c = [np.asarray(bm.ov_cols)] if bm.ov_cols is not None else []
     ov_v = [np.asarray(bm.ov_vals)] if bm.ov_vals is not None else []
@@ -227,7 +263,8 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8) -> PallasBDT:
 
     offc = np.clip(off, -2**30, 2**30).astype(np.int32)
     return PallasBDT(
-        tiles2=jnp.asarray(tiles.reshape(nblkpad, T * TILE_R, TILE_C)),
+        tiles2=jnp.asarray(tiles_ps.reshape(npspad, ts * TILE_R, TILE_C)),
+        pseudo2blk=jnp.asarray(pseudo2blk.astype(np.int32)),
         w_off=jnp.asarray(np.repeat(offc, TILE_R, axis=0)),
         w_offT=jnp.asarray(offc.reshape(nchunk * C2, 1)),
         base=jnp.asarray(base8.astype(np.int32)),
@@ -237,19 +274,20 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8) -> PallasBDT:
         ov_s=None if ov_s is None else jnp.asarray(ov_s, jnp.int32),
         ov_c=None if ov_c is None else jnp.asarray(ov_c, jnp.int32),
         ov_v=None if ov_v is None else jnp.asarray(ov_v, jnp.float32),
-        T=T, W8=W8, NV=NV, nchunk=nchunk, nblk=nblk, nblkpad=nblkpad,
-        NWpad=NWpad, nsmall=int(nsmall), nice=int(nice))
+        ts=ts, W8=W8, NV=NV, nchunk=nchunk, npspad=npspad, nblk=nblk,
+        nblkpad=nblkpad, NWpad=NWpad, nsmall=int(nsmall), nice=int(nice))
 
 
 def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
+                         ts: int = TS,
                          max_tiles_per_block=None) -> PallasBDT:
     """Build the fused-kernel form straight from a WeightedMatrix.
 
-    Unlike the XLA path (whose p97 T-cap trades padding for a cheap COO
-    overflow), the default here is the EXACT max windows/block: the fused
-    kernels stream padding at ~roof, while the XLA scatter epilogue for
-    overflow costs ~100x its byte count (measured 255 us for 765 entries).
-    Pathological polar blocks still demote via the W8 band cap.
+    The BDT intermediate is built with the EXACT max windows/block so no
+    entries land in its COO overflow (pseudo-blocks absorb heavy blocks at
+    TS granularity instead; the XLA scatter epilogue for overflow costs
+    ~100x its byte count — measured 255 us for 765 entries). Pathological
+    polar blocks still demote via the W8 band cap.
     """
     from icebin_tpu.ops.bdt import bdt_from_weighted
     if max_tiles_per_block is None:
@@ -260,7 +298,7 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
         max_tiles_per_block = int(cnt.max(initial=1))
     bm = bdt_from_weighted(M, small_axis=small_axis,
                            max_tiles_per_block=max_tiles_per_block)
-    return pallas_from_bdt(bm, nv=nv)
+    return pallas_from_bdt(bm, nv=nv, ts=ts)
 
 
 # ---------------------------------------------------------------------------
@@ -268,9 +306,9 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
 # ---------------------------------------------------------------------------
 
 def _prods_kernel(B, tiles_ref, f_ref, out_ref):
-    """A1: per-block MXU contraction, tiles x blocked field → products.
+    """A1: per-pseudo-block MXU contraction, tiles x gathered field.
 
-    tiles_ref (B, T*8, 128); f_ref (B, NV, 128); out (B, T*8, NV).
+    tiles_ref (B, TS*8, 128); f_ref (B, NV, 128); out (B, TS*8, NV).
     """
     for b in range(B):
         out_ref[b] = jax.lax.dot_general(
@@ -312,20 +350,17 @@ def _gather_kernel(W8, base_ref, e3_ref, woffT_ref, out_ref):
         preferred_element_type=jnp.float32, precision=HIGH)   # (C2, 8*NV)
 
 
-def _contract_kernel(B, scale, fwin_ref, tiles_ref, winv_ref, out_ref):
-    """B2: per-block contraction of window rows with tiles → blocked ice."""
+def _contract_kernel(B, fwin_ref, tiles_ref, out_ref):
+    """B2: per-pseudo-block contraction of window rows with tiles."""
     for b in range(B):
-        out = jax.lax.dot_general(
+        out_ref[b] = jax.lax.dot_general(
             fwin_ref[b], tiles_ref[b], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH)
-        if scale:
-            out = out * winv_ref[b]
-        out_ref[b] = out
 
 
 def _mk_prods(pm: PallasBDT, interpret: bool):
-    T8, NV, B = pm.T * TILE_R, pm.NV, BLK_STEP
-    nstep = pm.nblkpad // B
+    T8, NV, B = pm.ts * TILE_R, pm.NV, BLK_STEP
+    nstep = pm.npspad // B
     return pl.pallas_call(
         functools.partial(_prods_kernel, B),
         grid=(nstep,),
@@ -337,7 +372,7 @@ def _mk_prods(pm: PallasBDT, interpret: bool):
         ],
         out_specs=pl.BlockSpec((B, T8, NV), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pm.nblkpad, T8, NV), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pm.npspad, T8, NV), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * pm.tiles2.size * NV,
@@ -346,7 +381,7 @@ def _mk_prods(pm: PallasBDT, interpret: bool):
 
 
 def _mk_scatter(pm: PallasBDT, interpret: bool):
-    C2, NV, W8 = BLK_CHUNK * pm.T, pm.NV, pm.W8
+    C2, NV, W8 = PS_CHUNK * pm.ts, pm.NV, pm.W8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(pm.nchunk,),
@@ -371,7 +406,7 @@ def _mk_scatter(pm: PallasBDT, interpret: bool):
 
 
 def _mk_gather(pm: PallasBDT, interpret: bool):
-    C2, NV, W8 = BLK_CHUNK * pm.T, pm.NV, pm.W8
+    C2, NV, W8 = PS_CHUNK * pm.ts, pm.NV, pm.W8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(pm.nchunk,),
@@ -396,23 +431,21 @@ def _mk_gather(pm: PallasBDT, interpret: bool):
     )
 
 
-def _mk_contract(pm: PallasBDT, scale: bool, interpret: bool):
-    T8, NV, B = pm.T * TILE_R, pm.NV, BLK_STEP
-    nstep = pm.nblkpad // B
+def _mk_contract(pm: PallasBDT, interpret: bool):
+    T8, NV, B = pm.ts * TILE_R, pm.NV, BLK_STEP
+    nstep = pm.npspad // B
     return pl.pallas_call(
-        functools.partial(_contract_kernel, B, scale),
+        functools.partial(_contract_kernel, B),
         grid=(nstep,),
         in_specs=[
             pl.BlockSpec((B, T8, NV), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, T8, TILE_C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, TILE_C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, NV, TILE_C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pm.nblkpad, NV, TILE_C),
+        out_shape=jax.ShapeDtypeStruct((pm.npspad, NV, TILE_C),
                                        jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -443,8 +476,9 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
     """
     if interpret is None:
         interpret = _interpret_default()
-    prods = _mk_prods(pm, interpret)(pm.tiles2, fb)
-    p2 = prods.reshape(pm.nblkpad * pm.T, TILE_R * pm.NV)   # free reshape
+    fbp = jnp.take(fb, pm.pseudo2blk, axis=0)       # pseudo-order gather
+    prods = _mk_prods(pm, interpret)(pm.tiles2, fbp)
+    p2 = prods.reshape(pm.npspad * pm.ts, TILE_R * pm.NV)   # free reshape
     acc = _mk_scatter(pm, interpret)(pm.base, p2, pm.w_off)
     if pm.ov_s is not None:
         fI = pm.blocked_to_ice(fb)                          # (NV, nice)
@@ -465,8 +499,13 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
     if interpret is None:
         interpret = _interpret_default()
     fwin = _mk_gather(pm, interpret)(pm.base, e3, pm.w_offT)
-    fwin3 = fwin.reshape(pm.nblkpad, pm.T * TILE_R, pm.NV)  # free reshape
-    out = _mk_contract(pm, scale, interpret)(fwin3, pm.tiles2, pm.winvI_blk)
+    fwin3 = fwin.reshape(pm.npspad, pm.ts * TILE_R, pm.NV)  # free reshape
+    out_ps = _mk_contract(pm, interpret)(fwin3, pm.tiles2)
+    # pseudo order is block-major and trash rows map to the last row, so
+    # the segment ids are sorted
+    out = jax.ops.segment_sum(out_ps, pm.pseudo2blk,
+                              num_segments=pm.nblkpad,
+                              indices_are_sorted=True)
     if pm.ov_s is not None:
         ids = _ov_e3_ids(pm)
         g = jnp.take(e3.reshape(-1), ids.reshape(-1)).reshape(pm.NV, -1)
@@ -477,10 +516,9 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
                 + (jnp.arange(pm.NV, dtype=jnp.int32) * TILE_C)[:, None])
         flat = jnp.zeros(pm.nblkpad * pm.NV * TILE_C, jnp.float32)
         flat = flat.at[oids.reshape(-1)].add(g.reshape(-1))
-        ov = flat.reshape(pm.nblkpad, pm.NV, TILE_C)
-        if scale:
-            ov = ov * pm.winvI_blk
-        out = out + ov
+        out = out + flat.reshape(pm.nblkpad, pm.NV, TILE_C)
+    if scale:
+        out = out * pm.winvI_blk
     return out
 
 

@@ -45,8 +45,8 @@ def main():
                     ("default T", dict())]:
         pm = pallas_from_weighted(M, small_axis="rows", nv=8, **kw)
         nov = 0 if pm.ov_s is None else pm.ov_s.size
-        print(f"--- {tag}: nchunk={pm.nchunk} T={pm.T} W8={pm.W8} "
-              f"NWpad={pm.NWpad} overflow={nov}")
+        print(f"--- {tag}: nchunk={pm.nchunk} ts={pm.ts} npspad={pm.npspad} "
+              f"W8={pm.W8} NWpad={pm.NWpad} overflow={nov}")
 
         f = rng.uniform(0.5, 1.5, (8, nI))
         f[0, ::7] = np.nan                         # masked cells
