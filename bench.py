@@ -142,7 +142,7 @@ def main():
 
     # both directions stream the SAME tile set; each round trip still
     # reads it twice (once per direction)
-    rt_bytes = sum(2 * pm.stream_bytes for pm in pms)
+    rt_bytes = sum(pm.stream_bytes for pm in pms)
     gbps = rt_bytes / per_rt / 1e9
     roof = nominal_roof()
     print(json.dumps({"metric": "regrid_spmm_effective_GBps",

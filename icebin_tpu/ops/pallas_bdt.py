@@ -124,14 +124,30 @@ class PallasBDT:
         return cls(*ch, *aux)
 
     @property
-    def stream_bytes(self) -> int:
-        """HBM bytes one apply direction actually moves (for rooflines)."""
+    def bytes_small(self) -> int:
+        """HBM bytes the dest-small (EvI) direction actually moves."""
         nps_tiles = self.npspad * self.ts * TILE_R
         return int(self.tiles2.size * 4                  # tile stream
-                   + 2 * nps_tiles * self.NV * 4         # prods/fwin w+r
-                   + 2 * self.npspad * self.NV * TILE_C * 4   # gathered fld
-                   + self.nblkpad * self.NV * TILE_C * 4      # true field
-                   + self.NWpad * TILE_R * self.NV * 4)       # E3
+                   + 2 * nps_tiles * self.NV * 4         # prods w+r
+                   + 2 * self.npspad * self.NV * TILE_C * 4   # fbp gather w+r
+                   + self.nblkpad * self.NV * TILE_C * 4      # true field r
+                   + self.NWpad * TILE_R * self.NV * 4)       # E3 w
+
+    @property
+    def bytes_ice(self) -> int:
+        """HBM bytes the dest-ice (IvE) direction actually moves (B2'
+        lands straight in true blocks — no pseudo output round trip)."""
+        nps_tiles = self.npspad * self.ts * TILE_R
+        return int(self.tiles2.size * 4                  # tile stream
+                   + 2 * nps_tiles * self.NV * 4         # fwin w+r
+                   + self.NWpad * TILE_R * self.NV * 4   # E3 r
+                   + self.nblkpad * self.NV * TILE_C * 4      # true field w
+                   + self.nblkpad * TILE_C * 4)               # winv r
+
+    @property
+    def stream_bytes(self) -> int:
+        """HBM bytes one EvI∘IvE round trip actually moves."""
+        return self.bytes_small + self.bytes_ice
 
     # ---- layout conversions (XLA, used once per chain) ----
 
@@ -358,6 +374,34 @@ def _contract_kernel(B, fwin_ref, tiles_ref, out_ref):
             preferred_element_type=jnp.float32, precision=HIGH)
 
 
+def _contract_true_kernel(B, nstep, scale, p2b_ref, fwin_ref, tiles_ref,
+                          winv_ref, out_ref):
+    """B2': contraction + in-kernel segment-sum into TRUE ice blocks.
+
+    The true-block output (nblkpad, NV, 128) stays VMEM-resident across the
+    grid; each pseudo-block's (NV, 128) contribution lands via a dynamic
+    leading-index RMW (pseudo order is block-major, so revisits are
+    adjacent). Replaces the XLA segment_sum + out_ps HBM round trip.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for b in range(B):
+        val = jax.lax.dot_general(
+            fwin_ref[b], tiles_ref[b], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)
+        j = p2b_ref[i * B + b]
+        out_ref[pl.ds(j, 1), :, :] += val[None]
+
+    if scale:
+        @pl.when(i == nstep - 1)
+        def _():
+            out_ref[:] = out_ref[:] * winv_ref[:]
+
+
 def _mk_prods(pm: PallasBDT, interpret: bool):
     T8, NV, B = pm.ts * TILE_R, pm.NV, BLK_STEP
     nstep = pm.npspad // B
@@ -454,6 +498,36 @@ def _mk_contract(pm: PallasBDT, interpret: bool):
     )
 
 
+def _mk_contract_true(pm: PallasBDT, scale: bool, interpret: bool):
+    T8, NV, B = pm.ts * TILE_R, pm.NV, BLK_STEP
+    nstep = pm.npspad // B
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nstep,),
+        in_specs=[
+            pl.BlockSpec((B, T8, NV), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, T8, TILE_C), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pm.nblkpad, 1, TILE_C), lambda i, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((pm.nblkpad, NV, TILE_C),
+                               lambda i, b: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_contract_true_kernel, B, nstep, scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pm.nblkpad, NV, TILE_C),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pm.tiles2.size * NV,
+            bytes_accessed=pm.tiles2.size * 4, transcendentals=0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # fused applies (kernels + tiny XLA epilogue for overflow/scale)
 # ---------------------------------------------------------------------------
@@ -500,12 +574,13 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
         interpret = _interpret_default()
     fwin = _mk_gather(pm, interpret)(pm.base, e3, pm.w_offT)
     fwin3 = fwin.reshape(pm.npspad, pm.ts * TILE_R, pm.NV)  # free reshape
-    out_ps = _mk_contract(pm, interpret)(fwin3, pm.tiles2)
-    # pseudo order is block-major and trash rows map to the last row, so
-    # the segment ids are sorted
-    out = jax.ops.segment_sum(out_ps, pm.pseudo2blk,
-                              num_segments=pm.nblkpad,
-                              indices_are_sorted=True)
+    # B2' fuses the pseudo→true segment-sum and (overflow-free) the weight
+    # scale; with overflow present the scale must wait for the COO add.
+    in_scale = scale and pm.ov_s is None
+    out = _mk_contract_true(pm, in_scale, interpret)(
+        pm.pseudo2blk, fwin3, pm.tiles2, pm.winvI_blk)
+    if in_scale:
+        return out
     if pm.ov_s is not None:
         ids = _ov_e3_ids(pm)
         g = jnp.take(e3.reshape(-1), ids.reshape(-1)).reshape(pm.NV, -1)

@@ -83,7 +83,7 @@ def main():
         c, _ = jax.lax.scan(body, fb0, None, length=N)
         return c.sum()
     timed("Pallas fused", chain_pl, pm, fb,
-          bytes_per_iter=2 * pm.stream_bytes)
+          bytes_per_iter=pm.stream_bytes)
 
 
 if __name__ == "__main__":

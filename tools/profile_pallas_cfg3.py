@@ -58,9 +58,9 @@ def main():
                                                         p.winvI_blk),
            pm, carry=fwin3, bytes_=tb + pbytes)
     timeit("EvI full", lambda p, f: pb.apply_small_blocked(p, f, scale=True),
-           pm, carry=fb, bytes_=pm.stream_bytes)
+           pm, carry=fb, bytes_=pm.bytes_small)
     timeit("IvE full", lambda p, e: pb.apply_ice_blocked(p, e, scale=True),
-           pm, carry=e3, bytes_=pm.stream_bytes)
+           pm, carry=e3, bytes_=pm.bytes_ice)
 
 
 if __name__ == "__main__":
