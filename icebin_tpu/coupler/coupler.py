@@ -37,10 +37,19 @@ from icebin_tpu.models.ice_sheet import (RHO_ICE, IceSheetConfig,
 import dataclasses as _dc
 
 from icebin_tpu.ops.bdt import bdt_from_weighted, apply_bdt
+from icebin_tpu.ops.pallas_bdt import (PallasView, apply_view,
+                                       pallas_view_pair)
 from icebin_tpu.regrid.gcmregridder import GCMRegridder
 from icebin_tpu.regrid.matrices import RegridMatrices, RegridParams
 
 __all__ = ["CouplerConfig", "IceSheetCoupler", "GCMCoupler"]
+
+
+def _apply_any(bm, f, **kw):
+    """Dispatch an apply to the engine the matrix was built for."""
+    if isinstance(bm, PallasView):
+        return apply_view(bm, f, **kw)
+    return apply_bdt(bm, f, **kw)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +63,10 @@ class CouplerConfig:
     #: IvE transport (intensive fields like temperature must NOT be).
     repair_fields: tuple = ("smb_mass", "smb_enth", "heat_flux")
     matrix_dtype: object = jnp.float32
+    #: device apply engine: "pallas" (fused Mosaic kernels, the flagship
+    #: SpMM), "xla" (BDT einsum path), or "auto" (pallas on TPU, xla
+    #: elsewhere -- interpret-mode pallas is too slow for CPU test runs)
+    engine: str = "auto"
 
 
 class IceSheetCoupler:
@@ -109,16 +122,23 @@ class IceSheetCoupler:
         self._mats = {}
         # The unscaled EvI/IvE (and AvI/IvA) matrices are exact transposes,
         # so ONE tile set per pair serves both directions: the reverse
-        # direction is a zero-copy flipped view (apply_bdt on a view with
-        # the ``transposed`` flag toggled) -- halving matrix build time,
-        # device memory, and host->device transfer.
+        # direction is a zero-copy flipped view -- halving matrix build
+        # time, device memory, and host->device transfer.
+        engine = self.cfg.engine
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         for name in ("EvI", "AvI"):
             M = self.rm.matrix(name, self.cfg.params)
-            bm = bdt_from_weighted(M, small_axis="rows",
-                                   dtype=self.cfg.matrix_dtype)
-            self._mats[name] = bm
-            self._mats["Iv" + name[0]] = _dc.replace(
-                bm, transposed=not bm.transposed)
+            if engine == "pallas":
+                fwd, rev = pallas_view_pair(M, small_axis="rows")
+                self._mats[name] = fwd
+                self._mats["Iv" + name[0]] = rev
+            else:
+                bm = bdt_from_weighted(M, small_axis="rows",
+                                       dtype=self.cfg.matrix_dtype)
+                self._mats[name] = bm
+                self._mats["Iv" + name[0]] = _dc.replace(
+                    bm, transposed=not bm.transposed)
         self.steps_since_regen = 0
         return old
 
@@ -127,8 +147,8 @@ class IceSheetCoupler:
 
     def _apply(self, name: str, f, var_factor=None, var_offset=None):
         bm = self._mats[name]
-        out = apply_bdt(bm, f, scale=True, var_factor=var_factor,
-                        var_offset=var_offset, fill=jnp.nan)
+        out = _apply_any(bm, f, scale=True, var_factor=var_factor,
+                         var_offset=var_offset, fill=jnp.nan)
         if self.cfg.repair and var_factor is None and var_offset is None:
             m_src = weighted_mass(f, bm.Mw)
             out2 = jnp.where(jnp.isfinite(out), out, 0.0)
@@ -147,9 +167,10 @@ class IceSheetCoupler:
         #    path, fused with contract unit conversion).
         fac, off = self._fac_in, self._off_in
         bm_ive = self.mat("IvE")
-        fI = apply_bdt(bm_ive, fE_in, scale=True,
-                       var_factor=jnp.asarray(fac, fE_in.dtype),
-                       var_offset=jnp.asarray(off, fE_in.dtype), fill=jnp.nan)
+        fI = _apply_any(bm_ive, fE_in, scale=True,
+                        var_factor=jnp.asarray(fac, fE_in.dtype),
+                        var_offset=jnp.asarray(off, fE_in.dtype),
+                        fill=jnp.nan)
         fI64 = None
         if cfg.repair:
             # f64 mass repair of the extensive forcing fields; the f64

@@ -60,7 +60,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from icebin_tpu.ops.bdt import BDTMatrix, TILE_C, TILE_R
 
-__all__ = ["PallasBDT", "pallas_from_bdt", "pallas_from_weighted",
+__all__ = ["PallasBDT", "PallasView", "pallas_from_bdt",
+           "pallas_from_weighted", "pallas_view_pair", "apply_view",
            "apply_small", "apply_ice", "apply_small_blocked",
            "apply_ice_blocked"]
 
@@ -222,8 +223,24 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
     pseudo2blk[pid] = bb
 
     nblkpad = -(-nblk // TILE_R) * TILE_R
-    pseudo2blk[~np.isin(np.arange(npspad), pid)] = nblkpad - 1  # trash rows
+    haspid = np.zeros(npspad, bool)
+    haspid[pid] = True
+    pseudo2blk[~haspid] = nblkpad - 1               # trash rows
     # (zero tiles make trash contributions exact zeros)
+
+    # Order pseudo-blocks by WINDOW, not by ice block: the pseudo2blk
+    # indirection makes pseudo order free (A1's field gather and B2''s
+    # true-block RMW take any order), and window-sorted chunks have the
+    # narrowest possible W8 band for ANY grid geometry — a pole-centered
+    # sheet (one ice row crossing every longitude) otherwise spreads each
+    # chunk over a whole latitude ring (measured W8 1064 vs 192 for
+    # Greenland; band-matmul cost scales with W8).
+    key = np.where(haspid, first, np.int64(2) ** 60)
+    order = np.argsort(key, kind="stable")
+    tiles_ps = tiles_ps[order]
+    w_ps = w_ps[order]
+    pseudo2blk = pseudo2blk[order]
+    realp = realp[order]
 
     # chunking over pseudo rows for the scatter/gather band kernels
     C2 = PS_CHUNK * ts
@@ -551,9 +568,12 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
     if interpret is None:
         interpret = _interpret_default()
     fbp = jnp.take(fb, pm.pseudo2blk, axis=0)       # pseudo-order gather
-    prods = _mk_prods(pm, interpret)(pm.tiles2, fbp)
-    p2 = prods.reshape(pm.npspad * pm.ts, TILE_R * pm.NV)   # free reshape
-    acc = _mk_scatter(pm, interpret)(pm.base, p2, pm.w_off)
+    # Mosaic rejects x64 grid indices; the kernels are all-f32/int32, so
+    # trace them with x64 scoped off (callers may run a global-x64 ledger).
+    with jax.enable_x64(False):
+        prods = _mk_prods(pm, interpret)(pm.tiles2, fbp)
+        p2 = prods.reshape(pm.npspad * pm.ts, TILE_R * pm.NV)  # free
+        acc = _mk_scatter(pm, interpret)(pm.base, p2, pm.w_off)
     if pm.ov_s is not None:
         fI = pm.blocked_to_ice(fb)                          # (NV, nice)
         g = jnp.take(fI, pm.ov_c, axis=1) * pm.ov_v[None, :]
@@ -572,13 +592,14 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
     """dest-ice (IvE/IvA): E3 layout → blocked ice (nblkpad, NV, 128)."""
     if interpret is None:
         interpret = _interpret_default()
-    fwin = _mk_gather(pm, interpret)(pm.base, e3, pm.w_offT)
-    fwin3 = fwin.reshape(pm.npspad, pm.ts * TILE_R, pm.NV)  # free reshape
     # B2' fuses the pseudo→true segment-sum and (overflow-free) the weight
     # scale; with overflow present the scale must wait for the COO add.
     in_scale = scale and pm.ov_s is None
-    out = _mk_contract_true(pm, in_scale, interpret)(
-        pm.pseudo2blk, fwin3, pm.tiles2, pm.winvI_blk)
+    with jax.enable_x64(False):   # Mosaic rejects x64 grid indices
+        fwin = _mk_gather(pm, interpret)(pm.base, e3, pm.w_offT)
+        fwin3 = fwin.reshape(pm.npspad, pm.ts * TILE_R, pm.NV)  # free
+        out = _mk_contract_true(pm, in_scale, interpret)(
+            pm.pseudo2blk, fwin3, pm.tiles2, pm.winvI_blk)
     if in_scale:
         return out
     if pm.ov_s is not None:
@@ -595,6 +616,73 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
     if scale:
         out = out * pm.winvI_blk
     return out
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PallasView:
+    """A logical direction over a canonical PallasBDT tile set.
+
+    ``transposed=False`` is the stored (small x ice) orientation (EvI/AvI);
+    ``transposed=True`` is the reverse (IvE/IvA). One tile set serves both
+    (the unscaled matrices are exact transposes), mirroring the XLA path's
+    flipped-view sharing (``icebin_tpu.ops.bdt.apply_bdt_T``).
+    """
+
+    pm: PallasBDT
+    transposed: bool
+
+    def tree_flatten(self):
+        return ((self.pm,), (self.transposed,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0], *aux)
+
+    @property
+    def wM(self):
+        return self.pm.wI if self.transposed else self.pm.wS
+
+    @property
+    def Mw(self):
+        return self.pm.wS if self.transposed else self.pm.wI
+
+    @property
+    def logical_shape(self):
+        return ((self.pm.nice, self.pm.nsmall) if self.transposed
+                else (self.pm.nsmall, self.pm.nice))
+
+
+def pallas_view_pair(M, small_axis: str = "rows", nv: int = 8, ts: int = TS):
+    """(forward_view, reverse_view) sharing one tile set."""
+    pm = pallas_from_weighted(M, small_axis=small_axis, nv=nv, ts=ts)
+    fwd = PallasView(pm, transposed=(small_axis == "cols"))
+    return fwd, PallasView(pm, transposed=not fwd.transposed)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def apply_view(vw: PallasView, f, scale: bool = True, var_factor=None,
+               var_offset=None, fill=jnp.nan,
+               interpret: Optional[bool] = None):
+    """apply_bdt-compatible apply of a PallasView (drop-in for the coupler).
+
+    ``fill`` lands on zero-weight destinations when scaling (the kernels
+    produce 0 there); ``var_factor``/``var_offset`` are per-field affine
+    unit conversions fused on the output.
+    """
+    single = f.ndim == 1
+    fv = f[None, :] if single else f
+    if vw.transposed:
+        out = apply_ice(vw.pm, fv, scale=scale, interpret=interpret)
+    else:
+        out = apply_small(vw.pm, fv, scale=scale, interpret=interpret)
+    if scale:
+        out = jnp.where(vw.wM[None, :] != 0, out, fill)
+    if var_factor is not None:
+        out = out * var_factor[:, None]
+    if var_offset is not None:
+        out = out + var_offset[:, None]
+    return out[0] if single else out
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
