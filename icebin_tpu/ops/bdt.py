@@ -108,11 +108,14 @@ class BDTMatrix:
 
 def bdt_from_weighted(M: WeightedMatrix, small_axis: str = "rows",
                       max_tiles_per_block: Optional[int] = None,
-                      dtype=jnp.float32) -> BDTMatrix:
+                      dtype=jnp.float32, to_device: bool = True) -> BDTMatrix:
     """Convert a WeightedMatrix to BDT.
 
     small_axis: which LOGICAL axis is the small space -- "rows" (EvI/AvI
     style) or "cols" (IvE/IvA style; stored transposed).
+    to_device=False keeps every array host-side numpy -- essential when the
+    result is only an intermediate for another packer (the relay transfer
+    of a T=max dense tile array costs minutes for a polar sheet).
     """
     if small_axis == "rows":
         s, i, v = M.rows, M.cols, M.vals
@@ -193,22 +196,33 @@ def bdt_from_weighted(M: WeightedMatrix, small_axis: str = "rows",
         o = ~keep_entry
         rr, cc, vv = s_s[o], blk_s[o] * TILE_C + lane_s[o], v_s[o]
         oo = np.argsort(rr, kind="stable")
-        ovr = jnp.asarray(rr[oo], jnp.int32)
-        ovc = jnp.asarray(cc[oo], jnp.int32)
-        ovv = jnp.asarray(vv[oo], dtype)
+        xpi = jnp if to_device else np
+        ovr = xpi.asarray(rr[oo], np.int32)
+        ovc = xpi.asarray(cc[oo], np.int32)
+        ovv = xpi.asarray(vv[oo], np.dtype(jnp.dtype(dtype).name))
 
     # The banded one-hot serves both directions: dest-small turns the window
     # SCATTER into a matmul, dest-ice its transpose turns the window GATHER
     # into a matmul (same fixed pattern either way).
-    onehot, base, wide_idx, wide_rs = _build_scatter_band(row_start,
-                                                          int(nsmall))
+    if to_device:
+        onehot, base, wide_idx, wide_rs = _build_scatter_band(row_start,
+                                                              int(nsmall))
+        return BDTMatrix(
+            tiles=jnp.asarray(tiles, dtype),
+            row_start=jnp.asarray(row_start),
+            ov_rows=ovr, ov_cols=ovc, ov_vals=ovv,
+            wS=jnp.asarray(wS, dtype), wI=jnp.asarray(wI, dtype),
+            scat_onehot=onehot, scat_base=base,
+            scat_wide_idx=wide_idx, scat_wide_rs=wide_rs,
+            nsmall=int(nsmall), nice=int(nice), transposed=transposed)
+    npdtype = np.dtype(jnp.dtype(dtype).name)
     return BDTMatrix(
-        tiles=jnp.asarray(tiles, dtype),
-        row_start=jnp.asarray(row_start),
+        tiles=tiles.astype(npdtype),
+        row_start=row_start.astype(np.int32),
         ov_rows=ovr, ov_cols=ovc, ov_vals=ovv,
-        wS=jnp.asarray(wS, dtype), wI=jnp.asarray(wI, dtype),
-        scat_onehot=onehot, scat_base=base,
-        scat_wide_idx=wide_idx, scat_wide_rs=wide_rs,
+        wS=np.asarray(wS, npdtype), wI=np.asarray(wI, npdtype),
+        scat_onehot=None, scat_base=None,
+        scat_wide_idx=None, scat_wide_rs=None,
         nsmall=int(nsmall), nice=int(nice), transposed=transposed)
 
 

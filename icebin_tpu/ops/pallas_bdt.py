@@ -330,7 +330,8 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
         cnt = np.bincount(np.unique((i // TILE_C) * nw + s // TILE_R) // nw)
         max_tiles_per_block = int(cnt.max(initial=1))
     bm = bdt_from_weighted(M, small_axis=small_axis,
-                           max_tiles_per_block=max_tiles_per_block)
+                           max_tiles_per_block=max_tiles_per_block,
+                           to_device=False)
     return pallas_from_bdt(bm, nv=nv, ts=ts)
 
 
