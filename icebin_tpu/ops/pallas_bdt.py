@@ -326,9 +326,13 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
     if max_tiles_per_block is None:
         s = M.rows if small_axis == "rows" else M.cols
         i = M.cols if small_axis == "rows" else M.rows
-        nw = int(np.max(s) // TILE_R) + 2
-        cnt = np.bincount(np.unique((i // TILE_C) * nw + s // TILE_R) // nw)
-        max_tiles_per_block = int(cnt.max(initial=1))
+        if len(s) == 0:
+            max_tiles_per_block = 1     # empty shard (masked-out range)
+        else:
+            nw = int(np.max(s) // TILE_R) + 2
+            cnt = np.bincount(
+                np.unique((i // TILE_C) * nw + s // TILE_R) // nw)
+            max_tiles_per_block = int(cnt.max(initial=1))
     bm = bdt_from_weighted(M, small_axis=small_axis,
                            max_tiles_per_block=max_tiles_per_block,
                            to_device=False)
