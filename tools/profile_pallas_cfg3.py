@@ -35,32 +35,47 @@ def main():
     mats = B.build_matrices()
     (pm, Me, Mi) = mats["greenland"]
     rng = np.random.default_rng(0)
-    nvar = 8
-    fI = jnp.asarray(rng.uniform(0.5, 1.5, (nvar, pm.nice)), jnp.float32)
+    fI = jnp.asarray(rng.uniform(0.5, 1.5, (pm.NV, pm.nice)), jnp.float32)
     fb = pm.ice_to_blocked(fI)
+    print(f"npspad={pm.npspad} nchunk={pm.nchunk} W8={pm.W8} "
+          f"NWpad={pm.NWpad} nblkpad={pm.nblkpad} ts={pm.ts} "
+          f"tiles2={pm.tiles2.size*4/1e6:.1f} MB "
+          f"ov={0 if pm.ov_s is None else pm.ov_s.size}")
+    T8 = pm.ts * 8
     tb = pm.tiles2.size * 4
-    pbytes = pm.nblkpad * pm.T * 8 * pm.NV * 4
+    pbytes = pm.npspad * T8 * pm.NV * 4
     e3 = pb.apply_small_blocked(pm, fb, scale=True)
-    p2 = jnp.zeros((pm.nblkpad * pm.T, 8 * pm.NV), jnp.float32)
-    fwin3 = jnp.zeros((pm.nblkpad, pm.T * 8, pm.NV), jnp.float32)
+    p2 = jnp.zeros((pm.npspad * pm.ts, 8 * pm.NV), jnp.float32)
+    fwin3 = jnp.zeros((pm.npspad, T8, pm.NV), jnp.float32)
+    fbp = jnp.take(fb, pm.pseudo2blk, axis=0)
 
+    timeit("gather fbp (take)",
+           lambda p, f: jnp.take(f, p.pseudo2blk, axis=0), pm, carry=fb,
+           bytes_=2 * pm.npspad * pm.NV * 128 * 4)
     timeit("A1 prods (tiles stream)",
-           lambda p, f: pb._mk_prods(p, False)(p.tiles2, f), pm, carry=fb,
+           lambda p, f: pb._mk_prods(p, False)(p.tiles2, f), pm, carry=fbp,
            bytes_=tb + pbytes)
     timeit("A2 scatter",
-           lambda p, q: pb._mk_scatter(p, False)(p.base, q, p.w_off),
-           pm, carry=p2, bytes_=pbytes)
+           lambda p, x: pb._mk_scatter(p, False)(
+               p.base, x.reshape(p.npspad * p.ts, 8 * p.NV), p.w_off),
+           pm, carry=fwin3, bytes_=pbytes)
     timeit("B1 gather",
-           lambda p, e: pb._mk_gather(p, False)(p.base, e, p.w_offT),
+           lambda p, x: pb._mk_gather(p, False)(p.base, x, p.w_offT),
            pm, carry=e3, bytes_=pbytes)
-    timeit("B2 contract (tiles stream)",
-           lambda p, f: pb._mk_contract(p, True, False)(f, p.tiles2,
-                                                        p.winvI_blk),
+    timeit("B2' contract_true",
+           lambda p, x: pb._mk_contract_true(p, True, False)(
+               p.pseudo2blk, x, p.tiles2, p.winvI_blk),
            pm, carry=fwin3, bytes_=tb + pbytes)
-    timeit("EvI full", lambda p, f: pb.apply_small_blocked(p, f, scale=True),
+    timeit("full dest-small", lambda p, f: pb.apply_small_blocked(p, f),
            pm, carry=fb, bytes_=pm.bytes_small)
-    timeit("IvE full", lambda p, e: pb.apply_ice_blocked(p, e, scale=True),
+    timeit("full dest-ice", lambda p, x: pb.apply_ice_blocked(p, x),
            pm, carry=e3, bytes_=pm.bytes_ice)
+
+    @jax.jit
+    def rt(p, f):
+        e = pb.apply_small_blocked(p, f, scale=True)
+        return pb.apply_ice_blocked(p, e, scale=True)
+    timeit("round trip", rt, pm, carry=fb, bytes_=pm.stream_bytes)
 
 
 if __name__ == "__main__":
