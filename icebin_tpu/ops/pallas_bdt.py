@@ -70,6 +70,7 @@ W8_CAP = 2048       # max window slots per chunk band (VMEM: W8*NV8*512 B)
 TS = 4              # windows per pseudo-block (the padding granularity)
 PS_CHUNK = 128      # pseudo-blocks per scatter/gather chunk (C2=PS_CHUNK*TS)
 BLK_STEP = 64       # pseudo-blocks per streaming-kernel grid step
+CH_GROUP = 16       # chunks per scatter/gather grid step (in-kernel loop)
 
 
 def _interpret_default() -> bool:
@@ -104,6 +105,7 @@ class PallasBDT:
     W8: int
     NV: int
     nchunk: int
+    nchunkpad: int            # chunks padded to a CH_GROUP-multiple
     npspad: int               # padded pseudo-block count
     nblk: int                 # true ice blocks (unpadded)
     nblkpad: int              # true ice blocks padded (blocked layout rows)
@@ -111,8 +113,8 @@ class PallasBDT:
     nsmall: int
     nice: int
 
-    _STATIC = ("ts", "W8", "NV", "nchunk", "npspad", "nblk", "nblkpad",
-               "NWpad", "nsmall", "nice")
+    _STATIC = ("ts", "W8", "NV", "nchunk", "nchunkpad", "npspad", "nblk",
+               "nblkpad", "NWpad", "nsmall", "nice")
     _ARRAYS = ("tiles2", "pseudo2blk", "w_off", "w_offT", "base",
                "winvS_e3", "winvI_blk", "wS", "wI", "ov_s", "ov_c", "ov_v")
 
@@ -295,11 +297,18 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
     winvI_blk = wvi.reshape(nblkpad, 1, TILE_C).astype(np.float32)
 
     offc = np.clip(off, -2**30, 2**30).astype(np.int32)
+    # pad chunk-level arrays to a CH_GROUP multiple so the band kernels can
+    # loop over G chunks per grid step (padded chunks: off=0, base=0, p2=0)
+    G = min(CH_GROUP, nchunk)
+    nchunkpad = -(-nchunk // G) * G
+    if nchunkpad > nchunk:
+        offc = np.pad(offc, ((0, nchunkpad - nchunk), (0, 0)))
+        base8 = np.pad(base8, (0, nchunkpad - nchunk))
     return PallasBDT(
         tiles2=jnp.asarray(tiles_ps.reshape(npspad, ts * TILE_R, TILE_C)),
         pseudo2blk=jnp.asarray(pseudo2blk.astype(np.int32)),
         w_off=jnp.asarray(np.repeat(offc, TILE_R, axis=0)),
-        w_offT=jnp.asarray(offc.reshape(nchunk * C2, 1)),
+        w_offT=jnp.asarray(offc.reshape(nchunkpad * C2, 1)),
         base=jnp.asarray(base8.astype(np.int32)),
         winvS_e3=jnp.asarray(winvS_e3),
         winvI_blk=jnp.asarray(winvI_blk),
@@ -307,8 +316,9 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
         ov_s=None if ov_s is None else jnp.asarray(ov_s, jnp.int32),
         ov_c=None if ov_c is None else jnp.asarray(ov_c, jnp.int32),
         ov_v=None if ov_v is None else jnp.asarray(ov_v, jnp.float32),
-        ts=ts, W8=W8, NV=NV, nchunk=nchunk, npspad=npspad, nblk=nblk,
-        nblkpad=nblkpad, NWpad=NWpad, nsmall=int(nsmall), nice=int(nice))
+        ts=ts, W8=W8, NV=NV, nchunk=nchunk, nchunkpad=nchunkpad,
+        npspad=npspad, nblk=nblk, nblkpad=nblkpad, NWpad=NWpad,
+        nsmall=int(nsmall), nice=int(nice))
 
 
 def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
@@ -354,38 +364,44 @@ def _prods_kernel(B, tiles_ref, f_ref, out_ref):
             preferred_element_type=jnp.float32, precision=HIGH)
 
 
-def _scatter_kernel(W8, base_ref, p2_ref, woff_ref, out_ref):
-    """A2: one-hot band matmul accumulating tile rows into E3 windows."""
+def _scatter_kernel(W8, G, base_ref, p2_ref, woff_ref, out_ref):
+    """A2: one-hot band matmuls accumulating tile rows into E3 windows.
+
+    Each grid step loops over G chunks in-kernel (inputs land in one DMA;
+    no per-chunk grid-step overhead). Padded chunks have p2 == 0.
+    """
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p2 = p2_ref[:]                                  # (C2, 8*NV)
-    C2 = p2.shape[0]
-    woff = woff_ref[0:1, :]                         # (1, C2)
-    u = jax.lax.broadcasted_iota(jnp.int32, (W8, C2), 0)
-    oh = (woff == u).astype(jnp.float32)            # (W8, C2)
-    band = jax.lax.dot_general(
-        oh, p2, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=HIGH)   # (W8, 8*NV)
-    b8 = pl.multiple_of(base_ref[i], TILE_R)
-    out_ref[pl.ds(b8, W8), :] += band
+    C2 = woff_ref.shape[1]
+    for g in range(G):
+        p2 = p2_ref[g * C2:(g + 1) * C2, :]         # (C2, 8*NV)
+        woff = woff_ref[g * TILE_R:g * TILE_R + 1, :]   # (1, C2)
+        u = jax.lax.broadcasted_iota(jnp.int32, (W8, C2), 0)
+        oh = (woff == u).astype(jnp.float32)        # (W8, C2)
+        band = jax.lax.dot_general(
+            oh, p2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)  # (W8, 8*NV)
+        b8 = pl.multiple_of(base_ref[i * G + g], TILE_R)
+        out_ref[pl.ds(b8, W8), :] += band
 
 
-def _gather_kernel(W8, base_ref, e3_ref, woffT_ref, out_ref):
-    """B1: one-hot-transpose band matmul, E3 windows → per-tile rows."""
+def _gather_kernel(W8, G, base_ref, e3_ref, woffT_ref, out_ref):
+    """B1: one-hot-transpose band matmuls, E3 windows → per-tile rows."""
     i = pl.program_id(0)
-    b8 = pl.multiple_of(base_ref[i], TILE_R)
-    band = e3_ref[pl.ds(b8, W8), :]                 # (W8, 8*NV)
-    woffT = woffT_ref[:]                            # (C2, 1)
-    C2 = woffT.shape[0]
-    u = jax.lax.broadcasted_iota(jnp.int32, (C2, W8), 1)
-    oh = (woffT == u).astype(jnp.float32)           # (C2, W8)
-    out_ref[:] = jax.lax.dot_general(
-        oh, band, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=HIGH)   # (C2, 8*NV)
+    C2 = woffT_ref.shape[0] // G
+    for g in range(G):
+        b8 = pl.multiple_of(base_ref[i * G + g], TILE_R)
+        band = e3_ref[pl.ds(b8, W8), :]             # (W8, 8*NV)
+        woffT = woffT_ref[g * C2:(g + 1) * C2, :]   # (C2, 1)
+        u = jax.lax.broadcasted_iota(jnp.int32, (C2, W8), 1)
+        oh = (woffT == u).astype(jnp.float32)       # (C2, W8)
+        out_ref[g * C2:(g + 1) * C2, :] = jax.lax.dot_general(
+            oh, band, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)  # (C2, 8*NV)
 
 
 def _contract_kernel(B, fwin_ref, tiles_ref, out_ref):
@@ -448,51 +464,53 @@ def _mk_prods(pm: PallasBDT, interpret: bool):
 
 def _mk_scatter(pm: PallasBDT, interpret: bool):
     C2, NV, W8 = PS_CHUNK * pm.ts, pm.NV, pm.W8
+    G = min(CH_GROUP, pm.nchunkpad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(pm.nchunk,),
+        grid=(pm.nchunkpad // G,),
         in_specs=[
-            pl.BlockSpec((C2, TILE_R * NV), lambda i, b: (i, 0),
+            pl.BlockSpec((G * C2, TILE_R * NV), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, C2), lambda i, b: (i, 0),
+            pl.BlockSpec((G * TILE_R, C2), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, W8), grid_spec=grid_spec,
+        functools.partial(_scatter_kernel, W8, G), grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pm.NWpad, TILE_R * NV), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * pm.nchunk * W8 * C2 * TILE_R * NV,
-            bytes_accessed=pm.nchunk * C2 * TILE_R * NV * 4,
+            flops=2 * pm.nchunkpad * W8 * C2 * TILE_R * NV,
+            bytes_accessed=pm.nchunkpad * C2 * TILE_R * NV * 4,
             transcendentals=0),
     )
 
 
 def _mk_gather(pm: PallasBDT, interpret: bool):
     C2, NV, W8 = PS_CHUNK * pm.ts, pm.NV, pm.W8
+    G = min(CH_GROUP, pm.nchunkpad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(pm.nchunk,),
+        grid=(pm.nchunkpad // G,),
         in_specs=[
             pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C2, 1), lambda i, b: (i, 0),
+            pl.BlockSpec((G * C2, 1), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C2, TILE_R * NV), lambda i, b: (i, 0),
+        out_specs=pl.BlockSpec((G * C2, TILE_R * NV), lambda i, b: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_gather_kernel, W8), grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((pm.nchunk * C2, TILE_R * NV),
+        functools.partial(_gather_kernel, W8, G), grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pm.nchunkpad * C2, TILE_R * NV),
                                        jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * pm.nchunk * W8 * C2 * TILE_R * NV,
-            bytes_accessed=pm.nchunk * C2 * TILE_R * NV * 4,
+            flops=2 * pm.nchunkpad * W8 * C2 * TILE_R * NV,
+            bytes_accessed=pm.nchunkpad * C2 * TILE_R * NV * 4,
             transcendentals=0),
     )
 
@@ -578,6 +596,9 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
     with jax.enable_x64(False):
         prods = _mk_prods(pm, interpret)(pm.tiles2, fbp)
         p2 = prods.reshape(pm.npspad * pm.ts, TILE_R * pm.NV)  # free
+        padrows = pm.nchunkpad * PS_CHUNK * pm.ts - pm.npspad * pm.ts
+        if padrows:
+            p2 = jnp.pad(p2, ((0, padrows), (0, 0)))
         acc = _mk_scatter(pm, interpret)(pm.base, p2, pm.w_off)
     if pm.ov_s is not None:
         fI = pm.blocked_to_ice(fb)                          # (NV, nice)
@@ -602,6 +623,7 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
     in_scale = scale and pm.ov_s is None
     with jax.enable_x64(False):   # Mosaic rejects x64 grid indices
         fwin = _mk_gather(pm, interpret)(pm.base, e3, pm.w_offT)
+        fwin = fwin[:pm.npspad * pm.ts]             # drop padded chunks
         fwin3 = fwin.reshape(pm.npspad, pm.ts * TILE_R, pm.NV)  # free
         out = _mk_contract_true(pm, in_scale, interpret)(
             pm.pseudo2blk, fwin3, pm.tiles2, pm.winvI_blk)

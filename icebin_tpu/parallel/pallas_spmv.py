@@ -133,9 +133,12 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
                                            ts=ts))
 
     # pad every shard to common statics
+    from icebin_tpu.ops.pallas_bdt import CH_GROUP
     npspad = max(p.npspad for p in shards)
     npspad = -(-npspad // 128) * 128
     nchunk = npspad // 128
+    G = min(CH_GROUP, nchunk)
+    nchunkpad = -(-nchunk // G) * G
     W8 = max(p.W8 for p in shards)
     # every shard's bands must fit the COMMON W8 under the common NWpad
     NWpad = max(max(p.NWpad for p in shards),
@@ -158,13 +161,14 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
         p2b = _pad_to(p.pseudo2blk, npspad)
         p2b[p.npspad:] = nblkpad - 1
         stacks["pseudo2blk"].append(p2b)
-        w_off = np.full((nchunk * TILE_R, C2), -1, np.int32)
-        w_off[:p.nchunk * TILE_R] = np.asarray(p.w_off)
+        w_off = np.full((nchunkpad * TILE_R, C2), -1, np.int32)
+        w_off[:p.nchunk * TILE_R] = np.asarray(p.w_off)[:p.nchunk * TILE_R]
         stacks["w_off"].append(w_off)
-        w_offT = np.full((nchunk * C2, 1), -1, np.int32)
-        w_offT[:p.nchunk * C2] = np.asarray(p.w_offT)
+        w_offT = np.full((nchunkpad * C2, 1), -1, np.int32)
+        w_offT[:p.nchunk * C2] = np.asarray(p.w_offT)[:p.nchunk * C2]
         stacks["w_offT"].append(w_offT)
-        stacks["base"].append(_pad_to(p.base, nchunk))
+        stacks["base"].append(_pad_to(np.asarray(p.base)[:p.nchunk],
+                                      nchunkpad))
         stacks["winvS_e3"].append(winvS_e3)        # GLOBAL weights
         stacks["winvI_blk"].append(_pad_to(p.winvI_blk, nblkpad))
         wvs_g = np.zeros(nsmall, np.float32)
@@ -181,8 +185,8 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     template = dataclasses.replace(
         shards[0],
         **{name: None for name in PallasBDT._ARRAYS},
-        npspad=npspad, nchunk=nchunk, W8=W8, NWpad=NWpad,
-        nblkpad=nblkpad, nice=nblkpad * TILE_C)
+        npspad=npspad, nchunk=nchunk, nchunkpad=nchunkpad, W8=W8,
+        NWpad=NWpad, nblkpad=nblkpad, nice=nblkpad * TILE_C)
     sh = NamedSharding(mesh, P(ICE_AXIS))
     stacked = {}
     for name, parts in stacks.items():
