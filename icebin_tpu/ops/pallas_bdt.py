@@ -69,7 +69,7 @@ HIGH = jax.lax.Precision.HIGHEST
 W8_CAP = 2048       # max window slots per chunk band (VMEM: W8*NV8*512 B)
 TS = 4              # windows per pseudo-block (the padding granularity)
 PS_CHUNK = 128      # pseudo-blocks per scatter/gather chunk (C2=PS_CHUNK*TS)
-BLK_STEP = 64       # pseudo-blocks per streaming-kernel grid step
+BLK_STEP = 128       # pseudo-blocks per streaming-kernel grid step
 CH_GROUP = 16       # chunks per scatter/gather grid step (in-kernel loop)
 
 
