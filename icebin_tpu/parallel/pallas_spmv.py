@@ -83,6 +83,21 @@ class ShardedPallasBDT:
         f4 = jnp.pad(f4, ((0, 0), (0, 0), (0, pad), (0, 0)))
         return f4.transpose(1, 2, 0, 3).reshape(-1, t.NV, TILE_C)
 
+    def ice_to_blocked_host(self, f: np.ndarray, nice: int) -> np.ndarray:
+        """Numpy twin of ``ice_to_blocked_global`` (multi-host path: each
+        process slices rows [d0*nblkpad, d1*nblkpad) of the result for its
+        addressable devices and wraps them via ``distributed.global_field``).
+        """
+        t = self.template
+        f = np.where(np.isfinite(f), f, 0.0).astype(np.float32)
+        bpd = self.blk_ranges[0][1] - self.blk_ranges[0][0]
+        full = self.n_shards * bpd * TILE_C
+        f = np.pad(f, ((0, 0), (0, full - nice)))
+        f4 = f.reshape(t.NV, self.n_shards, bpd, TILE_C)
+        f4 = np.pad(f4, ((0, 0), (0, 0), (0, t.nblkpad - bpd), (0, 0)))
+        return np.ascontiguousarray(
+            f4.transpose(1, 2, 0, 3).reshape(-1, t.NV, TILE_C))
+
     def blocked_global_to_ice(self, fb, nice: int):
         """(n*nblkpad, NV, 128) shard-blocked → (NV, nice) global field."""
         t = self.template
@@ -113,9 +128,9 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     else:
         s, i, v = M.cols, M.rows, M.vals
         nice, nsmall = M.shape
-    nblk = -(-nice // TILE_C)
-    if nblk % n:
-        raise ValueError(f"nblk={nblk} not divisible by {n} devices")
+    # pad the block count to a device multiple (trailing shards may own
+    # fewer — or zero — true columns; their tiles are all-zero padding)
+    nblk = -(-(-(-nice // TILE_C)) // n) * n
     bpd = nblk // n
 
     # global small-space weights (per-shard builds see only partial sums)
@@ -124,7 +139,8 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     shards = []
     blk_ranges = []
     for d in range(n):
-        c0, c1 = d * bpd * TILE_C, min((d + 1) * bpd * TILE_C, nice)
+        c0 = min(d * bpd * TILE_C, nice)
+        c1 = min((d + 1) * bpd * TILE_C, nice)
         blk_ranges.append((d * bpd, (d + 1) * bpd))
         sel = (i >= c0) & (i < c1)
         Msub = WeightedMatrix(rows=s[sel], cols=i[sel] - c0, vals=v[sel],
@@ -193,8 +209,13 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
         if parts and parts[0] is None:
             stacked[name] = None
         else:
-            stacked[name] = jax.device_put(
-                jnp.asarray(np.stack(parts)), sh)
+            # make_array_from_callback materializes only the shards THIS
+            # process addresses — the multi-host-safe device_put (every
+            # process builds the same full host stack deterministically,
+            # replacing an MPI broadcast; SURVEY.md §5.8)
+            stack = np.stack(parts)
+            stacked[name] = jax.make_array_from_callback(
+                stack.shape, sh, lambda idx, a=stack: a[idx])
     return ShardedPallasBDT(stacked=stacked, template=template,
                             n_shards=n, blk_ranges=blk_ranges)
 
@@ -225,7 +246,10 @@ def make_sharded_apply_small(mesh, spm: ShardedPallasBDT,
                                                    for _ in arr_names),
                    out_specs=P(),
                    check_vma=False)
-    return jax.jit(lambda fb: sm(fb, *[spm.stacked[n] for n in arr_names]))
+    jitted = jax.jit(sm)
+    # matrix arrays ride as ARGUMENTS, not closure constants: multi-host
+    # jit forbids closing over arrays that span non-addressable devices
+    return lambda fb: jitted(fb, *[spm.stacked[n] for n in arr_names])
 
 
 def make_sharded_apply_ice(mesh, spm: ShardedPallasBDT,
@@ -244,4 +268,5 @@ def make_sharded_apply_ice(mesh, spm: ShardedPallasBDT,
                    in_specs=(P(),) + tuple(P(ICE_AXIS) for _ in arr_names),
                    out_specs=P(ICE_AXIS),
                    check_vma=False)
-    return jax.jit(lambda e3: sm(e3, *[spm.stacked[n] for n in arr_names]))
+    jitted = jax.jit(sm)
+    return lambda e3: jitted(e3, *[spm.stacked[n] for n in arr_names])

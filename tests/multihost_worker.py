@@ -1,0 +1,123 @@
+"""Worker process for tests/test_multihost.py — one simulated HOST.
+
+Run as: python multihost_worker.py <process_id> <num_processes> <port>
+
+Each process gets 4 virtual CPU devices; ``jax.distributed`` joins them
+into one 8-device multi-controller program (the DCN story of SURVEY.md
+§5.8 — the reference's MPI ranks [U GCMCoupler.cpp] with no root rank).
+The worker builds the SAME small regrid matrix set on every process
+(determinism replaces broadcast), runs the sharded Pallas EvI + IvE
+applies over the global mesh, and asserts against the host f64 oracle +
+the conservation identity.  Exit code 0 == pass.
+"""
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from icebin_tpu.parallel.distributed import (global_field, global_ice_mesh,  # noqa: E402
+                                             init_multihost, local_ice_range)
+
+
+def main():
+    init_multihost(f"localhost:{port}", num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    n_dev = len(jax.devices())
+    assert n_dev == 4 * nproc, f"global devices {n_dev}"
+
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+    from icebin_tpu.parallel.pallas_spmv import (make_sharded_apply_ice,
+                                                 make_sharded_apply_small,
+                                                 sharded_pallas_from_weighted)
+    from icebin_tpu.regrid.gcmregridder import GCMRegridder
+    from icebin_tpu.regrid.matrices import RegridParams
+
+    # small real matrix set, built identically on every process
+    scale = 10e3
+    nx, ny, na, nhc = 64, 128, 8, 3
+    specA = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, na + 1),
+                           latb=np.linspace(30.0, 70.0, na + 1))
+    specI = GridSpecXY(xb=np.linspace(0.0, 40.0 * scale, nx + 1),
+                       yb=np.linspace(30.0 * scale, 70.0 * scale, ny + 1),
+                       projection=PlateCarree(scale=scale))
+    gr = GCMRegridder(specA, hcdefs=np.linspace(0.0, 3000.0, nhc))
+    gr.add_sheet("s", specI, subdiv=1)
+    c = specI.cell_centers()
+    r2 = (((c[:, 0] - specI.xb.mean()) / (np.ptp(specI.xb) / 2.1)) ** 2
+          + ((c[:, 1] - specI.yb.mean()) / (np.ptp(specI.yb) / 2.1)) ** 2)
+    elev = np.where(r2 < 1.0, 2500.0 * (1.0 - r2), np.nan)
+    rm = gr.regrid_matrices("s", elev)
+    Me = rm.matrix("EvI", RegridParams(scale=True, correctA=True))
+    nice = Me.shape[1]
+
+    mesh = global_ice_mesh()
+    spm = sharded_pallas_from_weighted(mesh, Me, small_axis="rows", nv=8)
+
+    rng = np.random.default_rng(0)
+    f = rng.uniform(0.5, 1.5, (8, nice))
+
+    # host-side shard-blocked layout; this process contributes ONLY the rows
+    # of its addressable devices (no host ever holds the device-global array)
+    fb_host = spm.ice_to_blocked_host(f, nice)
+    bpd = spm.template.nblkpad
+    mine = sorted({d.process_index for d in mesh.devices.reshape(-1)})
+    assert mine == list(range(nproc))
+    my_devs = [i for i, d in enumerate(mesh.devices.reshape(-1))
+               if d.process_index == jax.process_index()]
+    r0, r1 = min(my_devs) * bpd, (max(my_devs) + 1) * bpd
+    fb = global_field(mesh, fb_host[r0:r1])
+
+    e3 = make_sharded_apply_small(mesh, spm, interpret=True)(fb)
+
+    # oracle: scaled EvI apply in f64 on host
+    import scipy.sparse as sp
+    M = sp.coo_matrix((Me.vals, (Me.rows, Me.cols)), shape=Me.shape).tocsr()
+    wM = np.asarray(Me.wM)
+    ref = (M @ f.T).T / np.where(wM == 0, 1.0, wM)[None, :]
+    got = np.asarray(spm.template.e3_to_small(np.asarray(e3)))
+    np.testing.assert_allclose(got[:, :len(wM)][:, wM != 0],
+                               ref[:, wM != 0], rtol=2e-5, atol=1e-7)
+
+    # conservation identity on the sharded apply: sum(out*wM) == sum(f*Mw)
+    m_out = (got[:, :len(wM)] * wM[None, :]).sum(axis=1)
+    m_src = (f * np.asarray(Me.Mw)[None, :]).sum(axis=1)
+    np.testing.assert_allclose(m_out, m_src, rtol=1e-5)
+
+    # reverse direction: IvE over the same tile set, purely local per device
+    out_blocked = make_sharded_apply_ice(mesh, spm, interpret=True)(e3)
+    i0, i1 = local_ice_range(mesh, nice)
+    assert (i1 - i0) > 0
+    # validate this process's local shards against the oracle
+    MT = M.T.tocsr()
+    wI = np.asarray(Me.Mw)
+    refI = (MT @ got[:, :len(wM)].T).T / np.where(wI == 0, 1.0, wI)[None, :]
+    shards = sorted(out_blocked.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    loc = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    width = spm.blk_ranges[0][1] - spm.blk_ranges[0][0]
+    # strip per-device block padding before comparing
+    cols = []
+    for k in range(len(my_devs)):
+        cols.append(loc[k * bpd:k * bpd + width]
+                    .transpose(1, 0, 2).reshape(8, -1))
+    locI = np.concatenate(cols, axis=1)[:, :max(0, i1 - i0)]
+    refI_loc = refI[:, i0:i1]
+    ok = wI[i0:i1] != 0
+    np.testing.assert_allclose(locI[:, ok], refI_loc[:, ok],
+                               rtol=2e-5, atol=1e-7)
+    print(f"proc {pid}: multihost OK ({nproc} procs x 4 devices)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
