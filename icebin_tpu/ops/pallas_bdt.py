@@ -66,10 +66,13 @@ __all__ = ["PallasBDT", "PallasView", "pallas_from_bdt",
            "apply_ice_blocked"]
 
 HIGH = jax.lax.Precision.HIGHEST
+ONEHOT_SPLIT = True  # band matmuls: 3 exact bf16 passes instead of 6 (see
+                     # _split3_dot; the one-hot side is exactly bf16)
 W8_CAP = 2048       # max window slots per chunk band (VMEM: W8*NV8*512 B)
 TS = 4              # windows per pseudo-block (the padding granularity)
 PS_CHUNK = 128      # pseudo-blocks per scatter/gather chunk (C2=PS_CHUNK*TS)
-BLK_STEP = 128       # pseudo-blocks per streaming-kernel grid step
+BLK_STEP = 64       # pseudo-blocks per streaming-kernel grid step (swept
+                    # on-chip: 64 -> 617 GB/s, 128 -> 566, 256 -> 600)
 CH_GROUP = 16       # chunks per scatter/gather grid step (in-kernel loop)
 
 
@@ -364,6 +367,34 @@ def _prods_kernel(B, tiles_ref, f_ref, out_ref):
             preferred_element_type=jnp.float32, precision=HIGH)
 
 
+def _split3_dot(oh_bool, x, dims):
+    """dot(one-hot, x) with f32-equivalent accuracy in 3 MXU passes.
+
+    A 0/1 matrix is EXACTLY representable in bf16, so only ``x`` needs
+    splitting: x = hi + mid + lo (each bf16, together carrying x's full 24
+    mantissa bits); each bf16xbf16 pass accumulates exactly in f32.  That
+    is 2x fewer passes than Precision.HIGHEST's generic 6-pass f32
+    emulation (which must split BOTH operands) at the same accuracy.
+    """
+    if not ONEHOT_SPLIT:
+        oh = oh_bool.astype(jnp.float32)
+        return jax.lax.dot_general(oh, x, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=HIGH)
+    ohb = oh_bool.astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(ohb, hi, dims,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(ohb, mid, dims,
+                               preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(ohb, lo, dims,
+                               preferred_element_type=jnp.float32)
+    return acc
+
+
 def _scatter_kernel(W8, G, base_ref, p2_ref, woff_ref, out_ref):
     """A2: one-hot band matmuls accumulating tile rows into E3 windows.
 
@@ -381,10 +412,8 @@ def _scatter_kernel(W8, G, base_ref, p2_ref, woff_ref, out_ref):
         p2 = p2_ref[g * C2:(g + 1) * C2, :]         # (C2, 8*NV)
         woff = woff_ref[g * TILE_R:g * TILE_R + 1, :]   # (1, C2)
         u = jax.lax.broadcasted_iota(jnp.int32, (W8, C2), 0)
-        oh = (woff == u).astype(jnp.float32)        # (W8, C2)
-        band = jax.lax.dot_general(
-            oh, p2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGH)  # (W8, 8*NV)
+        band = _split3_dot(woff == u, p2,
+                           (((1,), (0,)), ((), ())))  # (W8, 8*NV)
         b8 = pl.multiple_of(base_ref[i * G + g], TILE_R)
         out_ref[pl.ds(b8, W8), :] += band
 
@@ -398,10 +427,8 @@ def _gather_kernel(W8, G, base_ref, e3_ref, woffT_ref, out_ref):
         band = e3_ref[pl.ds(b8, W8), :]             # (W8, 8*NV)
         woffT = woffT_ref[g * C2:(g + 1) * C2, :]   # (C2, 1)
         u = jax.lax.broadcasted_iota(jnp.int32, (C2, W8), 1)
-        oh = (woffT == u).astype(jnp.float32)       # (C2, W8)
-        out_ref[g * C2:(g + 1) * C2, :] = jax.lax.dot_general(
-            oh, band, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGH)  # (C2, 8*NV)
+        out_ref[g * C2:(g + 1) * C2, :] = _split3_dot(
+            woffT == u, band, (((1,), (0,)), ((), ())))  # (C2, 8*NV)
 
 
 def _contract_kernel(B, fwin_ref, tiles_ref, out_ref):
