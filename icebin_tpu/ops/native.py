@@ -19,7 +19,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "clip_areas_centroids_native", "coo_sum_sorted"]
+__all__ = ["available", "clip_areas_centroids_native", "coo_sum_sorted",
+           "ensure_gcmce_lib"]
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libicebin_native.so"
@@ -55,6 +56,24 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def ensure_gcmce_lib(timeout: float = 180.0):
+    """Build (on first use) and return the path of ``libicebin_gcmce.so``,
+    the Fortran-GCM-facing gcmce_* C ABI (native/gcmce.cc; reference
+    ``gcmce_couple_native`` etc. in ``GCMCoupler_ModelE.cpp`` [U]).
+    Returns None if the toolchain cannot produce it."""
+    path = _NATIVE_DIR / "libicebin_gcmce.so"
+    if path.exists():
+        return path
+    if os.environ.get("ICEBIN_NO_NATIVE"):
+        return None
+    try:
+        subprocess.run(["sh", str(_NATIVE_DIR / "build_gcmce.sh")],
+                       check=True, capture_output=True, timeout=timeout)
+    except Exception:
+        return None
+    return path if path.exists() else None
 
 
 def _ptr(a, typ=ctypes.c_double):

@@ -107,9 +107,9 @@ def test_adapter_couple_native(tmp_path):
 
 def test_gcmce_c_abi(tmp_path):
     """Drive the C ABI (native/gcmce.cc) via ctypes -- the Fortran path."""
-    lib_path = pathlib.Path("/root/repo/native/libicebin_gcmce.so")
-    if not lib_path.exists():
-        pytest.skip("libicebin_gcmce.so not built")
+    from icebin_tpu.ops.native import ensure_gcmce_lib
+    lib_path = ensure_gcmce_lib()
+    assert lib_path is not None, "gcmce C ABI library failed to build"
     # write grids + config for gcmce_new
     from icebin_tpu.grid.proj import PlateCarree
     from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
@@ -170,9 +170,9 @@ def test_gcmce_pure_c_driver(tmp_path):
     """Compile and run native/test_gcmce.c -- a Python-free C program
     driving the coupler through the gcmce ABI (the ModelE linking shape)."""
     import subprocess
+    from icebin_tpu.ops.native import ensure_gcmce_lib
+    assert ensure_gcmce_lib() is not None, "gcmce C ABI failed to build"
     lib_dir = pathlib.Path("/root/repo/native")
-    if not (lib_dir / "libicebin_gcmce.so").exists():
-        pytest.skip("libicebin_gcmce.so not built")
     from icebin_tpu.grid.proj import PlateCarree
     from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
     from icebin_tpu.io.ncio import write_grid
