@@ -4,15 +4,17 @@ Measures the fused Pallas BDT regrid apply (EvI o IvE round trips, 8
 fields, f32; icebin_tpu.ops.pallas_bdt) on the REAL SeaRISE Greenland 5 km
 x ModelE 2x2.5 matrix set with 5 elevation classes (BASELINE.json config
 #3 -- the north star's named end-to-end target), exchange grid built by
-the native C++ engine, on the real TPU chip.  (Multi-sheet config #5 runs
-in tests/test_multisheet.py; a pole-centered sheet rides the slower
-scatter fallback and would dilute the headline bandwidth with a
-latency-bound small-matrix leg.)
+the default engine (Pallas clip kernel on TPU), on the real TPU chip.
+(Multi-sheet config #5 runs in tests/test_multisheet.py.)
 
 Methodology notes (see .claude/skills/verify/SKILL.md):
 * block_until_ready is unreliable through the axon relay and a sync fetch
-  costs ~27 ms, so the apply chain runs N dependent round trips inside ONE
-  jit and is synced once by fetching a scalar that depends on the output.
+  costs tens of ms, so the apply chain runs N dependent round trips inside
+  ONE jit, synced once by fetching a scalar that depends on the output.
+* The per-round-trip time is a TWO-POINT measurement: the same chain is
+  timed at N1 and N2 round trips and per_rt = (t2 - t1) / (N2 - N1), so
+  the relay sync/dispatch latency cancels EXACTLY instead of being a
+  hard-coded constant (round-1 weakness); the implied latency is reported.
 * conservation is asserted (f64, < 1e-10) before timing -- a fast wrong
   answer must fail the bench.
 * byte accounting counts what one round trip actually streams (tiles twice
@@ -20,7 +22,11 @@ Methodology notes (see .claude/skills/verify/SKILL.md):
 * vs_baseline = achieved / (0.70 * nominal HBM roof): 1.0 == the north-star
   target "SpMV >= 70% of HBM roof" (BASELINE.md).  No reference numbers
   exist (reference publishes none).  Measured practical stream roof on the
-  attached v5e is ~740 GB/s r+w (tools/bench_roof.py).
+  attached v5e is ~740 GB/s r+w (tools/bench_roof.py); both roofs are
+  reported in the JSON line.
+* The exchange-grid BUILD is timed too (candidate pairs/s through the
+  engine `make_exchange_grid` selects -- the north-star "overlap cells/s"
+  metric) and reported as extra keys on the same line.
 """
 import json
 import sys
@@ -28,7 +34,8 @@ import time
 
 import numpy as np
 
-N_REPS = 64
+N1, N2 = 64, 576        # two-point chain lengths (latency cancels)
+N_TIMING_REPS = 6       # interleaved; min filters relay-latency spikes
 NVAR = 8
 
 ROOFS_GBPS = {  # nominal HBM bandwidth per chip
@@ -47,7 +54,9 @@ def nominal_roof():
 
 
 def build_matrices():
-    from icebin_tpu.grid.spec import GridSpecXY, modele_lonlat_grid
+    from icebin_tpu.grid.exchange import (candidate_pairs, make_exchange_grid,
+                                          prepare_subject_polygons)
+    from icebin_tpu.grid.spec import Grid, GridSpecXY, modele_lonlat_grid
     from icebin_tpu.ops.pallas_bdt import pallas_from_weighted
     from icebin_tpu.regrid.gcmregridder import GCMRegridder
     from icebin_tpu.regrid.matrices import RegridParams
@@ -63,8 +72,18 @@ def build_matrices():
     gr = GCMRegridder(specA, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3500.0])
     P = RegridParams(scale=True, correctA=True)
     out = {}
+    build_stats = {"pairs": 0, "seconds": 0.0}
     for name, specI in sheets.items():
-        gr.add_sheet(name, specI, subdiv=2)
+        # timed exchange-grid build through the default (auto) engine --
+        # on TPU this is the Pallas clip kernel (north-star geometric path)
+        polysA, keepA = prepare_subject_polygons(specA, specI, subdiv=2)
+        pA, _ = candidate_pairs(specA, specI, polysA, keepA)
+        xg = make_exchange_grid(specA, specI, subdiv=2)   # warm (compiles)
+        t0 = time.perf_counter()
+        xg = make_exchange_grid(specA, specI, subdiv=2)
+        build_stats["seconds"] += time.perf_counter() - t0
+        build_stats["pairs"] += len(pA)
+        gr.add_sheet(name, Grid(specI), exchange=xg)
         c = specI.cell_centers()
         ex = (np.ptp(specI.xb) / 2.2, np.ptp(specI.yb) / 2.2)
         r2 = (((c[:, 0] - specI.xb.mean()) / ex[0]) ** 2
@@ -76,7 +95,7 @@ def build_matrices():
         # ONE Pallas tile set serves both directions (exact transposes)
         pm = pallas_from_weighted(Me, small_axis="rows", nv=NVAR)
         out[name] = (pm, Me, Mi)
-    return out
+    return out, build_stats
 
 
 def main():
@@ -89,7 +108,7 @@ def main():
     from icebin_tpu.ops.pallas_bdt import (apply_small, apply_small_blocked,
                                            apply_ice_blocked)
 
-    mats = build_matrices()
+    mats, build_stats = build_matrices()
     rng = np.random.default_rng(0)
 
     # conservation gates per sheet (host f64 oracle vs device f32 apply,
@@ -120,34 +139,52 @@ def main():
                            jnp.float32))
            for pm in pms]
 
-    @jax.jit
-    def chain(ms, fs):
-        def body(c, _):
-            out = []
-            for pm, fb in zip(ms, c):
-                e3 = apply_small_blocked(pm, fb, scale=True)
-                out.append(apply_ice_blocked(pm, e3, scale=True))
-            return tuple(out), ()
-        c, _ = jax.lax.scan(body, tuple(fs), None, length=N_REPS)
-        return sum(x.sum() for x in c)
+    def make_chain(n_reps):
+        @jax.jit
+        def chain(ms, fs):
+            def body(c, _):
+                out = []
+                for pm, fb in zip(ms, c):
+                    e3 = apply_small_blocked(pm, fb, scale=True)
+                    out.append(apply_ice_blocked(pm, e3, scale=True))
+                return tuple(out), ()
+            c, _ = jax.lax.scan(body, tuple(fs), None, length=n_reps)
+            return sum(x.sum() for x in c)
+        return chain
 
-    float(chain(pms, fbs))                   # compile + warm
-    ts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        float(chain(pms, fbs))
-        ts.append(time.perf_counter() - t0)
-    lat = 0.027                               # relay sync latency (measured)
-    per_rt = max((min(ts) - lat) / N_REPS, 1e-9)
+    c1, c2 = make_chain(N1), make_chain(N2)
+    float(c1(pms, fbs))                      # compile + warm
+    float(c2(pms, fbs))
+    # interleave the two points so relay-latency drift hits both equally
+    ts1, ts2 = [], []
+    for _ in range(N_TIMING_REPS):
+        ts1.append(_timed(c1, pms, fbs))
+        ts2.append(_timed(c2, pms, fbs))
+    t1, t2 = min(ts1), min(ts2)
+    per_rt = max((t2 - t1) / (N2 - N1), 1e-9)
+    lat = t1 - N1 * per_rt                   # implied sync latency (report)
 
     # both directions stream the SAME tile set; each round trip still
     # reads it twice (once per direction)
     rt_bytes = sum(pm.stream_bytes for pm in pms)
     gbps = rt_bytes / per_rt / 1e9
     roof = nominal_roof()
-    print(json.dumps({"metric": "regrid_spmm_effective_GBps",
-                      "value": round(gbps, 2), "unit": "GB/s",
-                      "vs_baseline": round(gbps / (0.70 * roof), 4)}))
+    print(json.dumps({
+        "metric": "regrid_spmm_effective_GBps",
+        "value": round(gbps, 2), "unit": "GB/s",
+        "vs_baseline": round(gbps / (0.70 * roof), 4),
+        "roof_nominal_GBps": roof,
+        "sync_latency_ms": round(1e3 * lat, 2),
+        "build_pairs_per_s": round(build_stats["pairs"]
+                                   / max(build_stats["seconds"], 1e-9)),
+        "build_seconds": round(build_stats["seconds"], 3),
+    }))
+
+
+def _timed(fn, pms, fbs):
+    t0 = time.perf_counter()
+    float(fn(pms, fbs))
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

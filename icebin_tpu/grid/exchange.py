@@ -191,9 +191,18 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
     areasI = specI.cell_areas()
 
     if engine == "auto":
+        # On TPU the Pallas clip kernel is the north-star geometric engine
+        # (~86 M pairs/s); host fallbacks: C++ OpenMP, then the f64 oracle.
+        import jax
         from icebin_tpu.ops import native
-        engine = ("native" if native.available() and 4 * subdiv <= 64
-                  else "numpy")
+        from icebin_tpu.ops.pallas_clip import V0 as _KV0
+        n_vert = polysA.shape[1]
+        if jax.default_backend() == "tpu" and n_vert <= _KV0:
+            engine = "pallas"
+        elif native.available() and 16 * n_vert <= 1024:
+            engine = "native"
+        else:
+            engine = "numpy"
     if engine == "numpy":
         clip_fn = _clip_areas_numpy
     elif engine == "native":
