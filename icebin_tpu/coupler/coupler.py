@@ -101,6 +101,11 @@ class IceSheetCoupler:
         self.rm: Optional[RegridMatrices] = None
         self._mats: Dict[str, object] = {}
         self.steps_since_regen = 0
+        #: GCM-held extensive EC state means (snow, firn, energy densities),
+        #: remapped through E1vE0 at every regeneration (reference:
+        #: ``update_topo`` applies E1vE0 to ModelE's land-ice state [U])
+        self.held_E: Optional[np.ndarray] = None
+        self.held_default = 0.0
         self.regen_matrices()
 
     # -- matrix lifecycle --------------------------------------------------
@@ -144,6 +149,50 @@ class IceSheetCoupler:
 
     def mat(self, name: str):
         return self._mats[name]
+
+    # -- GCM-held EC state (E1vE0 across regenerations) ---------------------
+
+    def set_held_state(self, fields, default: float = 0.0) -> None:
+        """(n_held, nE) extensive EC state means the GCM holds per elevation
+        class.  Every matrix regeneration remaps it E0 -> E1 through
+        ``e1ve0_matrix`` so mass survives the basis change; ECs that lose all
+        ice drop their mass into the ledger, brand-new ECs start at
+        ``default`` (reference ``update_topo`` semantics [U])."""
+        f = np.asarray(fields, dtype=np.float64)
+        self.held_E = f[None, :].copy() if f.ndim == 1 else f.copy()
+        self.held_default = float(default)
+
+    @staticmethod
+    def _ec_weights(rm: RegridMatrices) -> np.ndarray:
+        """(nE,) f64 EC measure: plane overlap area per E cell (the E1vE0
+        measure -- no correctA, matching ``e1ve0_matrix`` entries)."""
+        w = np.zeros(rm.nE)
+        np.add.at(w, rm.iE0, rm.o * rm.wE0)
+        np.add.at(w, rm.iE1, rm.o * rm.wE1)
+        return w
+
+    def held_mass(self) -> float:
+        """f64 total of held state in the CURRENT EC measure."""
+        if self.held_E is None:
+            return 0.0
+        return float(np.sum(self.held_E * self._ec_weights(self.rm)[None, :]))
+
+    def _remap_held(self, remap, old_rm: RegridMatrices, ledger: Ledger):
+        """Apply E1vE0 to the held EC state; book dropped/gained mass."""
+        f0 = self.held_E
+        w0_full = self._ec_weights(old_rm)
+        w1_full = self._ec_weights(self.rm)
+        f1 = np.atleast_2d(remap.apply(f0, scale=True,
+                                       fill=self.held_default))
+        # retreat: exchange cells only in E0 -- their mass leaves the books
+        dropped = float(np.sum(f0 * (w0_full - remap.Mw)[None, :]))
+        # advance/new ECs: measure created by mean-extension or `default`
+        gained = float(np.sum(f1 * (w1_full - remap.wM)[None, :]))
+        self.held_E = f1
+        ledger.post(f"{self.sheet}.held_mass",
+                    float(np.sum(f1 * w1_full[None, :])))
+        ledger.post(f"{self.sheet}.held_mass_dropped", dropped)
+        ledger.post(f"{self.sheet}.held_mass_gained", gained)
 
     def _apply(self, name: str, f, var_factor=None, var_offset=None):
         bm = self._mats[name]
@@ -234,6 +283,8 @@ class IceSheetCoupler:
             old_rm = self.regen_matrices()
             if old_rm is not None:
                 remap = e1ve0_matrix(old_rm, self.rm)
+                if self.held_E is not None:
+                    self._remap_held(remap, old_rm, ledger)
         return {"fI": fI, "fE_out": fE_out, "fA_out": fA_out,
                 "E1vE0": remap,
                 "fhc": self.rm.fhc(), "elevE": self.rm.elevE()}

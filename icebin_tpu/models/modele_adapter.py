@@ -92,6 +92,21 @@ class ModelEAdapter:
         self.start_time = t0
         self.coupler.time = t0
 
+    def set_held_state(self, sheet: str, fields_modele, default: float = 0.0
+                       ) -> None:
+        """Register GCM-held extensive EC state (ModelE ihc-major layout);
+        it is remapped through E1vE0 at every matrix regeneration inside
+        ``IceSheetCoupler`` (reference update_topo remaps ModelE's land-ice
+        state [U])."""
+        f = np.atleast_2d(np.asarray(fields_modele, dtype=np.float64))
+        self.coupler.sheets[sheet].set_held_state(
+            from_modele_E(f, self.nA, self.nhc), default=default)
+
+    def held_state(self, sheet: str):
+        """Current held EC state back in ModelE ihc-major layout."""
+        h = self.coupler.sheets[sheet].held_E
+        return None if h is None else to_modele_E(h, self.nA, self.nhc)
+
     def add_rank_output(self, index, vals) -> None:
         """Accept one rank's sparse E-grid contribution, ModelE ihc-major
         indices (reference gcmce_add_gcm_outpute [U])."""
