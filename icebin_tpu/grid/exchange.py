@@ -31,7 +31,7 @@ import numpy as np
 from icebin_tpu.grid.spec import Grid, GridSpecXY
 
 __all__ = ["ExchangeGrid", "make_exchange_grid", "candidate_pairs",
-           "prepare_subject_polygons"]
+           "prepare_subject_polygons", "assemble_exchange_grid"]
 
 
 @dataclasses.dataclass
@@ -229,6 +229,19 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
         areas[s:e] = np.abs(np.asarray(a, dtype=np.float64))
         cents[s:e] = np.asarray(ctr, dtype=np.float64) + c
 
+    return assemble_exchange_grid(pairA, pairI, areas, cents, specA, specI,
+                                  areasI, repair=repair,
+                                  min_area_frac=min_area_frac,
+                                  coverage_tol=coverage_tol)
+
+
+def assemble_exchange_grid(pairA, pairI, areas, cents, specA, specI, areasI,
+                           repair: bool = True, min_area_frac: float = 1e-13,
+                           coverage_tol: float = 1e-3) -> ExchangeGrid:
+    """Shared tail of the host and mesh-sharded builds: degenerate-overlap
+    filtering, f64 conservation repair, deterministic A-ordering.  Feeding
+    both builds through the same f64 assembly is what makes the sharded
+    build bit-identical to the host build (tests/test_sharded_build.py)."""
     # Drop degenerate overlaps (relative to their ice cell's area).
     keep = areas > min_area_frac * areasI[pairI]
     pairA, pairI, areas, cents = pairA[keep], pairI[keep], areas[keep], cents[keep]
