@@ -46,5 +46,6 @@ def load_checkpoint(path: str, coupler) -> None:
         sc.state = IceSheetState(H=jnp.asarray(z[f"{name}.H"]),
                                  bed=jnp.asarray(z[f"{name}.bed"]),
                                  t=jnp.asarray(z[f"{name}.t"]))
+        sc.place_state()          # mesh couplers re-shard over the ice axis
         sc.regen_matrices(elevmask=z[f"{name}.regen_elevmask"])
         sc.steps_since_regen = int(z[f"{name}.steps_since_regen"])

@@ -47,6 +47,8 @@ __all__ = ["CouplerConfig", "IceSheetCoupler", "GCMCoupler"]
 
 def _apply_any(bm, f, **kw):
     """Dispatch an apply to the engine the matrix was built for."""
+    if hasattr(bm, "apply_coupler"):        # mesh-sharded Pallas view
+        return bm.apply_coupler(f, **kw)
     if isinstance(bm, PallasView):
         return apply_view(bm, f, **kw)
     return apply_bdt(bm, f, **kw)
@@ -108,6 +110,10 @@ class IceSheetCoupler:
         self.held_default = 0.0
         self.regen_matrices()
 
+    def place_state(self) -> None:
+        """Device-placement hook: re-place ``self.state`` after a restore or
+        construction (mesh couplers shard it over the ice axis)."""
+
     # -- matrix lifecycle --------------------------------------------------
 
     def elevmask(self) -> np.ndarray:
@@ -125,10 +131,19 @@ class IceSheetCoupler:
         self.regen_elevmask = np.asarray(elevmask)
         self.rm = self.gr.regrid_matrices(self.sheet, elevmask)
         self._mats = {}
-        # The unscaled EvI/IvE (and AvI/IvA) matrices are exact transposes,
-        # so ONE tile set per pair serves both directions: the reverse
-        # direction is a zero-copy flipped view -- halving matrix build
-        # time, device memory, and host->device transfer.
+        self._build_mats()
+        self.steps_since_regen = 0
+        return old
+
+    def _build_mats(self) -> None:
+        """Populate ``self._mats`` with EvI/IvE/AvI/IvA apply objects.
+
+        The unscaled EvI/IvE (and AvI/IvA) matrices are exact transposes,
+        so ONE tile set per pair serves both directions: the reverse
+        direction is a zero-copy flipped view -- halving matrix build
+        time, device memory, and host->device transfer.  Mesh-decomposed
+        couplers override this hook (``coupler.sharded``).
+        """
         engine = self.cfg.engine
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -144,8 +159,6 @@ class IceSheetCoupler:
                 self._mats[name] = bm
                 self._mats["Iv" + name[0]] = _dc.replace(
                     bm, transposed=not bm.transposed)
-        self.steps_since_regen = 0
-        return old
 
     def mat(self, name: str):
         return self._mats[name]
@@ -265,16 +278,18 @@ class IceSheetCoupler:
         fE_out = self._apply("EvI", outI)
         fA_out = self._apply("AvI", outI)
 
-        row_t = float(self.state.t) if np.ndim(self.state.t) == 0 else t
-        ledger.post(f"{self.sheet}.mass_in_E", m_in)
-        ledger.post(f"{self.sheet}.mass_delivered_I", m_delivered)
-        ledger.post(f"{self.sheet}.ice_mass", mass1)
         # residual: flux clamping + f32 field quantization + measure
         # mismatch between matrix weights and model cell areas
         m_del_f32 = weighted_mass(smbI, bm_ive.wM) * cfg.dt
-        ledger.post(f"{self.sheet}.mass_residual",
-                    float(mass1 - mass0 - m_del_f32)
-                    + float(m_del_f32 - m_delivered))
+        # ONE batched device->host pull for the whole f64 account row (a
+        # per-scalar float() sync costs a full relay round trip on TPU)
+        stats = np.asarray(jnp.stack([
+            m_in, m_delivered, mass1,
+            (mass1 - mass0 - m_del_f32) + (m_del_f32 - m_delivered)]))
+        ledger.post(f"{self.sheet}.mass_in_E", stats[0])
+        ledger.post(f"{self.sheet}.mass_delivered_I", stats[1])
+        ledger.post(f"{self.sheet}.ice_mass", stats[2])
+        ledger.post(f"{self.sheet}.mass_residual", stats[3])
 
         # 4. topo evolution: regenerate matrices + E1vE0 remap cadence.
         self.steps_since_regen += 1
@@ -307,11 +322,18 @@ class GCMCoupler:
 
     def __init__(self, gr: GCMRegridder, cfg: CouplerConfig = CouplerConfig(),
                  sheets: Optional[Dict[str, IceSheetCoupler]] = None,
-                 writer=None):
+                 writer=None, mesh=None):
         self.gr = gr
         self.cfg = cfg
-        self.sheets = sheets or {
-            name: IceSheetCoupler(gr, name, cfg) for name in gr.sheets}
+        if sheets is None:
+            if mesh is not None:
+                from icebin_tpu.coupler.sharded import MeshIceSheetCoupler
+                sheets = {name: MeshIceSheetCoupler(gr, name, cfg, mesh)
+                          for name in gr.sheets}
+            else:
+                sheets = {name: IceSheetCoupler(gr, name, cfg)
+                          for name in gr.sheets}
+        self.sheets = sheets
         self.ledger = Ledger()
         #: optional CouplerWriter for per-step field dumps (the reference's
         #: gcm-out/gcm-in/IceWriter observability pattern [U])

@@ -33,7 +33,44 @@ from icebin_tpu.ops.bdt import (TILE_C, TILE_R, BDTMatrix,
 from icebin_tpu.parallel.halo import halo_exchange_rows
 from icebin_tpu.parallel.mesh import ICE_AXIS
 
-__all__ = ["shard_coupled_setup", "make_sharded_step"]
+__all__ = ["shard_coupled_setup", "make_sharded_step",
+           "make_sharded_ice_step"]
+
+
+def make_sharded_ice_step(mesh):
+    """``models.ice_sheet.step``-compatible ice advance over the mesh.
+
+    Returns fn(cfg, state, smb_flux, dt) -> state with the SIA substeps
+    running in shard_map (1-D y decomposition, ppermute halo rings, pmax
+    CFL) -- the PISM/PETSc-DA ghost-update analog.  Drop-in for
+    ``IceSheetCoupler.ice_step`` so the PRODUCTION coupler (ledger, E1vE0,
+    regen cadence, writer) runs mesh-decomposed (VERDICT item #2).
+    """
+    import functools
+    from icebin_tpu.models.ice_sheet import RHO_ICE as _RHO, IceSheetState
+
+    n = int(mesh.devices.size)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "dt"))
+    def _advance(cfg, H, bed, smb_flux, dt):
+        smb2 = (jnp.asarray(smb_flux).reshape(cfg.ny, cfg.nx) / _RHO
+                ).astype(H.dtype)
+
+        def local(Hl, bedl, smbl):
+            return _sia_substeps_local(Hl, bedl, smbl, dt, cfg,
+                                       cfg.dx, cfg.dy, cfg.n_substeps_max)
+
+        sm = shard_map(local, mesh=mesh, in_specs=(P(ICE_AXIS),) * 3,
+                       out_specs=P(ICE_AXIS), check_vma=False)
+        return sm(H, bed, smb2)
+
+    def step_like(cfg, state, smb_flux, dt):
+        if cfg.ny % n:
+            raise ValueError(f"ny={cfg.ny} not divisible by {n} devices")
+        H1 = _advance(cfg, state.H, state.bed, smb_flux, dt)
+        return IceSheetState(H=H1, bed=state.bed, t=state.t + dt)
+
+    return step_like
 
 
 def shard_coupled_setup(mesh, ive: BDTMatrix, evi: BDTMatrix, state,

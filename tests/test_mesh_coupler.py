@@ -1,0 +1,158 @@
+"""Mesh-decomposed PRODUCTION coupler (VERDICT round-1 items #2 and #8).
+
+One coupler, every feature: the sharded Pallas SpMM applies and the
+halo-ring SIA step run under the SAME f64 ledger / mass repair / regen
+cadence / E1vE0 / writer / checkpoint machinery as the single-device path.
+Oracles: per-step conservation < 1e-10 (config #4, 100 steps), trajectory
+equivalence with the single-device Pallas coupler, two-sheet config #5.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler
+from icebin_tpu.coupler.sharded import MeshIceSheetCoupler
+from icebin_tpu.grid.proj import PlateCarree
+from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+from icebin_tpu.parallel.mesh import make_mesh
+from icebin_tpu.regrid.gcmregridder import GCMRegridder
+
+
+def make_gr(n_ice=32, sheets=("toy",), scale=25e3):
+    specA = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, 7),
+                           latb=np.linspace(30.0, 80.0, 7))
+    gr = GCMRegridder(specA, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3000.0])
+    for k, name in enumerate(sheets):
+        # offset windows so multi-sheet configs cover distinct ice domains
+        x0 = 2.0 + 18.0 * k
+        specI = GridSpecXY(
+            xb=np.linspace(x0 * scale, (x0 + 16.0) * scale, n_ice + 1),
+            yb=np.linspace(40.0 * scale, 72.0 * scale, n_ice + 1),
+            projection=PlateCarree(scale=scale))
+        gr.add_sheet(name, specI, subdiv=1)
+    return gr
+
+
+def forcing(t, nE, seed_extra=0):
+    rng = np.random.default_rng((int(t) + seed_extra) % 100003)
+    f = np.zeros((4, nE))
+    f[0] = 1e-5 * rng.uniform(0.5, 1.0, nE)
+    f[1] = 5.0
+    f[2] = 2.0
+    f[3] = -10.0
+    return jnp.asarray(f)
+
+
+def check_ledger_closure(rows, sheet):
+    prev_mass = None
+    for r in rows:
+        m_in = r[f"{sheet}.mass_in_E"]
+        m_del = r[f"{sheet}.mass_delivered_I"]
+        assert abs(m_in - m_del) / abs(m_in) < 1e-10       # north star
+        if prev_mass is not None:
+            lhs = r[f"{sheet}.ice_mass"] - prev_mass
+            rhs = m_del + r[f"{sheet}.mass_residual"]
+            scale = max(abs(r[f"{sheet}.ice_mass"]), abs(m_del))
+            assert abs(lhs - rhs) / scale < 1e-12
+        prev_mass = r[f"{sheet}.ice_mass"]
+
+
+def test_config4_transient_100_steps_mesh():
+    """BASELINE config #4 on the 8-device mesh: 100-step transient with
+    regen cadence + E1vE0 held-state remap, conservation < 1e-10/step."""
+    gr = make_gr()
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=10)
+    cp = GCMCoupler(gr, cfg, mesh=make_mesh(8))
+    sc = cp.sheets["toy"]
+    assert isinstance(sc, MeshIceSheetCoupler)
+    rng = np.random.default_rng(7)
+    sc.set_held_state(rng.uniform(0.5, 2.0, (2, gr.nE)))
+    m_prev = sc.held_mass()
+    cp.run_transient(lambda t, s: forcing(t, gr.nE), 100)
+    rows = cp.ledger.to_rows()
+    assert len(rows) == 100
+    check_ledger_closure(rows, "toy")
+    # held EC state books close across every regeneration
+    n_regens = 0
+    for r in rows:
+        if "toy.held_mass" in r:
+            n_regens += 1
+            budget = (m_prev - r["toy.held_mass_dropped"]
+                      + r["toy.held_mass_gained"])
+            assert (abs(r["toy.held_mass"] - budget)
+                    / max(abs(m_prev), 1.0) < 1e-10)
+            m_prev = r["toy.held_mass"]
+    assert n_regens >= 9
+    # the ice actually evolved and stayed sharded on the mesh
+    assert "ice" in str(sc.state.H.sharding)
+
+
+def test_mesh_matches_single_device():
+    """Same config, same forcing: the mesh coupler's trajectory matches the
+    single-device Pallas coupler to f32 apply noise."""
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=4)
+    cp1 = GCMCoupler(make_gr(), cfg)                      # single device
+    # force the single-device coupler onto the Pallas (interpret) engine so
+    # both paths run the SAME kernels
+    cfgp = CouplerConfig(dt=86400.0 * 30, regen_every=4, engine="pallas")
+    cp1 = GCMCoupler(make_gr(), cfgp)
+    cp8 = GCMCoupler(make_gr(), cfg, mesh=make_mesh(8))
+    out1 = out8 = None
+    for k in range(5):
+        f = forcing(float(k), cp1.gr.nE)
+        out1 = cp1.couple({"toy": f})["toy"]
+        out8 = cp8.couple({"toy": f})["toy"]
+    H1 = np.asarray(cp1.sheets["toy"].state.H)
+    H8 = np.asarray(cp8.sheets["toy"].state.H)
+    np.testing.assert_allclose(H8, H1, rtol=2e-5, atol=2e-4)
+    e1 = np.asarray(out1["fE_out"])
+    e8 = np.asarray(out8["fE_out"])
+    both = np.isfinite(e1) & np.isfinite(e8)
+    # finiteness masks agree (same wM support)
+    np.testing.assert_array_equal(np.isfinite(e1), np.isfinite(e8))
+    np.testing.assert_allclose(e8[both], e1[both], rtol=5e-4, atol=5e-3)
+
+
+def test_config5_two_sheets_mesh():
+    """BASELINE config #5 shape: two ice sheets coupled on one mesh, both
+    conserving and regenerating."""
+    gr = make_gr(sheets=("greenland", "antarctica"))
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=5)
+    cp = GCMCoupler(gr, cfg, mesh=make_mesh(8))
+    cp.run_transient(lambda t, s: forcing(t, gr.nE,
+                                          seed_extra=hash(s) % 1000), 12)
+    rows = cp.ledger.to_rows()
+    assert len(rows) == 12
+    for sheet in ("greenland", "antarctica"):
+        check_ledger_closure(rows, sheet)
+
+
+def test_mesh_checkpoint_roundtrip(tmp_path):
+    """Checkpoint/resume restores a mesh-sharded run exactly (state, time,
+    matrix vintage) -- resumed trajectory equals the uninterrupted one."""
+    from icebin_tpu.coupler.checkpoint import load_checkpoint, save_checkpoint
+    gr = make_gr()
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=3)
+    cp = GCMCoupler(gr, cfg, mesh=make_mesh(8))
+    for k in range(4):
+        cp.couple({"toy": forcing(float(k), gr.nE)})
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, cp)
+    ref = cp.couple({"toy": forcing(99.0, gr.nE)})["toy"]
+
+    cp2 = GCMCoupler(make_gr(), cfg, mesh=make_mesh(8))
+    load_checkpoint(path, cp2)
+    assert "ice" in str(cp2.sheets["toy"].state.H.sharding)
+    out = cp2.couple({"toy": forcing(99.0, gr.nE)})["toy"]
+    np.testing.assert_array_equal(np.asarray(cp2.sheets["toy"].state.H),
+                                  np.asarray(cp.sheets["toy"].state.H))
+    e_ref, e_out = np.asarray(ref["fE_out"]), np.asarray(out["fE_out"])
+    both = np.isfinite(e_ref)
+    np.testing.assert_array_equal(both, np.isfinite(e_out))
+    np.testing.assert_array_equal(e_ref[both], e_out[both])
+
+
+def test_layout_contract_raises():
+    gr = make_gr(n_ice=30)       # 30 rows not divisible by 8
+    with pytest.raises(ValueError, match="divisible"):
+        MeshIceSheetCoupler(gr, "toy", CouplerConfig(), make_mesh(8))
