@@ -169,6 +169,8 @@ def main():
     rt_bytes = sum(pm.stream_bytes for pm in pms)
     gbps = rt_bytes / per_rt / 1e9
     roof = nominal_roof()
+
+    coupler_stats = bench_coupler()
     print(json.dumps({
         "metric": "regrid_spmm_effective_GBps",
         "value": round(gbps, 2), "unit": "GB/s",
@@ -178,7 +180,50 @@ def main():
         "build_pairs_per_s": round(build_stats["pairs"]
                                    / max(build_stats["seconds"], 1e-9)),
         "build_seconds": round(build_stats["seconds"], 3),
+        **coupler_stats,
     }))
+
+
+def bench_coupler():
+    """Full coupling-loop overheads at config #3 scale (5 km Greenland):
+    steps/s of the PRODUCTION coupler (IvE+repair -> SIA -> EvI/AvI ->
+    batched ledger pull) and the matrix-regeneration wall time -- the two
+    runtime numbers the SpMM GB/s headline does not capture."""
+    import jax.numpy as jnp
+    from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler
+    from icebin_tpu.grid.spec import GridSpecXY, modele_lonlat_grid
+    from icebin_tpu.regrid.gcmregridder import GCMRegridder
+
+    specA = modele_lonlat_grid(144, 90)
+    specI = GridSpecXY(
+        xb=np.linspace(-650e3, 870e3, 305),
+        yb=np.linspace(-3350e3, -630e3, 545),
+        projection="+proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 "
+                   "+ellps=WGS84")
+    gr = GCMRegridder(specA, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3500.0])
+    gr.add_sheet("greenland", specI, subdiv=2)
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=1 << 30)
+    cp = GCMCoupler(gr, cfg)
+    sc = cp.sheets["greenland"]
+
+    t0 = time.perf_counter()
+    sc.regen_matrices()
+    regen_s = time.perf_counter() - t0
+
+    rng = np.random.default_rng(0)
+    f = np.zeros((4, gr.nE), np.float32)
+    f[0] = 1e-5 * rng.uniform(0.5, 1.0, gr.nE)
+    f[3] = -10.0
+    fE = jnp.asarray(f)
+    cp.couple({"greenland": fE})          # compile + warm
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        cp.couple({"greenland": fE})
+    dt = time.perf_counter() - t0
+    return {"coupler_steps_per_s": round(n / dt, 3),
+            "coupler_step_ms": round(1e3 * dt / n, 1),
+            "regen_seconds_5km": round(regen_s, 3)}
 
 
 def _timed(fn, pms, fbs):

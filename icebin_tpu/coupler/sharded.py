@@ -68,6 +68,18 @@ class MeshIceSheetCoupler(IceSheetCoupler):
         self.ice_step = make_sharded_ice_step(mesh)
         self.place_state()
 
+    @property
+    def local_domains(self):
+        """Per-device owned (y, x) lattice blocks -- the reference's
+        per-rank ``ibmisc::Domain`` bookkeeping [U], here describing the
+        1-D y decomposition the matrices and ice state are sharded on."""
+        from icebin_tpu.utils.indexing import Domain
+        n = int(self.mesh.devices.size)
+        ny, nx = self.ice_cfg.ny, self.ice_cfg.nx
+        ny_l = ny // n
+        return [Domain(low=(d * ny_l, 0), high=((d + 1) * ny_l, nx))
+                for d in range(n)]
+
     def place_state(self) -> None:
         """Shard H/bed over the ice (y) axis; scalars replicated."""
         import dataclasses

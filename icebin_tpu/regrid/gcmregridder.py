@@ -107,7 +107,8 @@ class GCMRegridder:
 
             def fn(sigma, _sheet=sheet, _elev=np.asarray(elevmaskI)):
                 return smoothing_matrix(_sheet.specI,
-                                        np.isfinite(_elev).reshape(-1), sigma)
+                                        np.isfinite(_elev).reshape(-1), sigma,
+                                        elev=_elev)
         return RegridMatrices(
             xg=sheet.exchange,
             elevmaskI=elevmaskI,

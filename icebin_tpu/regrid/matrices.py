@@ -52,7 +52,9 @@ class RegridParams:
 
     scale: bool = True
     correctA: bool = True
-    sigma: Optional[Tuple[float, float]] = None  # (sigma_x, sigma_y) metres
+    #: (sigma_x, sigma_y[, sigma_z]) -- plane metres for x/y, metres of
+    #: ELEVATION for z (the reference's full sigma[3]; see ops.smoother)
+    sigma: Optional[Tuple[float, ...]] = None
 
 
 def elevation_class_split(elev, hcdefs):
@@ -189,11 +191,23 @@ class RegridMatrices:
 
         M = WeightedMatrix(rows=didx, cols=sidx, vals=vals, shape=(nd, ns))
 
-        if params.sigma is not None and dest == "I":
+        if params.sigma is not None:
             if self._smoothing_fn is None:
                 raise ValueError("sigma requested but no smoothing_matrix_fn")
             S = self._smoothing_fn(params.sigma)  # scipy sparse (nI, nI)
-            M = WeightedMatrix.from_scipy(S @ M.to_scipy())
+            # Compose the ice-side smoother conservatively on whichever side
+            # is the ice grid: dest-I matrices smooth the regridded OUTPUT
+            # (S M); ice-SOURCE matrices (AvI/EvI/GvI) smooth the input ice
+            # field first (M S).  Matrices with no ice side (AvE/EvA) cannot
+            # take sigma -- same constraint as the reference [U].
+            if dest == "I":
+                M = WeightedMatrix.from_scipy(S @ M.to_scipy())
+            elif src == "I":
+                M = WeightedMatrix.from_scipy(M.to_scipy() @ S)
+            else:
+                raise ValueError(
+                    f"sigma smoothing needs an ice side; {spec_name} has "
+                    f"none")
         return M
 
     # -- diagnostics -------------------------------------------------------

