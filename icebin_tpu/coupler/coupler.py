@@ -102,6 +102,10 @@ class IceSheetCoupler:
         self.contract_out = contract_out or ice_modele_output_contract()
         self.rm: Optional[RegridMatrices] = None
         self._mats: Dict[str, object] = {}
+        #: jitted fused step (built lazily; keyed on the ice model so a
+        #: swapped-in model family never reuses a stale trace)
+        self._core_jit = None
+        self._core_jit_key = None
         self.steps_since_regen = 0
         #: GCM-held extensive EC state means (snow, firn, energy densities),
         #: remapped through E1vE0 at every regeneration (reference:
@@ -207,8 +211,7 @@ class IceSheetCoupler:
         ledger.post(f"{self.sheet}.held_mass_dropped", dropped)
         ledger.post(f"{self.sheet}.held_mass_gained", gained)
 
-    def _apply(self, name: str, f, var_factor=None, var_offset=None):
-        bm = self._mats[name]
+    def _apply_mat(self, bm, f, var_factor=None, var_offset=None):
         out = _apply_any(bm, f, scale=True, var_factor=var_factor,
                          var_offset=var_offset, fill=jnp.nan)
         if self.cfg.repair and var_factor is None and var_offset is None:
@@ -221,15 +224,21 @@ class IceSheetCoupler:
 
     # -- one coupling step -------------------------------------------------
 
-    def couple(self, t: float, fE_in: jnp.ndarray, ledger: Ledger):
-        """fE_in: (n_contract_in, nE) GCM fields on the E grid, GCM units.
-        Returns dict with E/A-grid ice outputs and diagnostics."""
+    def _couple_core(self, ive, evi, avi, state, fE_in):
+        """The PURE device math of one coupling step: IvE transport + f64
+        repair -> ice model step -> EvI/AvI harvest + repair -> ledger
+        stats.  ONE code path serves every engine: when the matrices are
+        pytree applies and the ice model is jittable, ``couple`` runs this
+        under jax.jit as a SINGLE fused dispatch (relay/PCIe latency is the
+        coupling-loop bottleneck, see bench.py coupler_step_ms); the
+        mesh-sharded views and side-effectful ice models (DISMAL) run the
+        same code eagerly.  Returns (fI, fE_out, fA_out, new_state, stats).
+        """
         cfg = self.cfg
         # 1. E -> I forcing transport (reference IceCoupler::couple IvE hot
         #    path, fused with contract unit conversion).
         fac, off = self._fac_in, self._off_in
-        bm_ive = self.mat("IvE")
-        fI = _apply_any(bm_ive, fE_in, scale=True,
+        fI = _apply_any(ive, fE_in, scale=True,
                         var_factor=jnp.asarray(fac, fE_in.dtype),
                         var_offset=jnp.asarray(off, fE_in.dtype),
                         fill=jnp.nan)
@@ -242,9 +251,9 @@ class IceSheetCoupler:
             idx = jnp.asarray([self.contract_in.index(n)
                                for n in cfg.repair_fields])
             src_conv = fE_in[idx] * jnp.asarray(fac, fE_in.dtype)[idx, None]
-            m_src = weighted_mass(src_conv, bm_ive.Mw)
+            m_src = weighted_mass(src_conv, ive.Mw)
             sub = jnp.where(jnp.isfinite(fI[idx]), fI[idx], 0.0)
-            fI64 = repair_mass(sub, bm_ive.wM, m_src)
+            fI64 = repair_mass(sub, ive.wM, m_src)
             fI = fI.at[idx].set(
                 jnp.where(jnp.isfinite(fI[idx]),
                           fI64.astype(fI.dtype), fI[idx]))
@@ -253,39 +262,68 @@ class IceSheetCoupler:
 
         # ledger: mass entering the ice sheet this step [kg]
         k = self.contract_in.index("smb_mass")
-        m_in = weighted_mass(fE_in[k] * fac[k], bm_ive.Mw) * cfg.dt
-        mass0 = jnp.sum(self.state.H.astype(jnp.float64)
+        m_in = weighted_mass(fE_in[k] * fac[k], ive.Mw) * cfg.dt
+        mass0 = jnp.sum(state.H.astype(jnp.float64)
                         if jax.config.jax_enable_x64
-                        else self.state.H) * self.cell_area * RHO_ICE
+                        else state.H) * self.cell_area * RHO_ICE
         # Mass actually delivered, in the MATRIX measure (wM = covered
         # plane area per ice cell), measured from the f64 repaired field so
         # the books close to f64 round-off; the f32 field the model consumes
         # differs by its quantization, which lands in mass_residual below.
-        areaI = self.cell_area
         if fI64 is not None:
             kk = list(self.cfg.repair_fields).index("smb_mass")
-            m_delivered = weighted_mass(fI64[kk], bm_ive.wM) * cfg.dt
+            m_delivered = weighted_mass(fI64[kk], ive.wM) * cfg.dt
         else:
-            m_delivered = weighted_mass(smbI, bm_ive.wM) * cfg.dt
+            m_delivered = weighted_mass(smbI, ive.wM) * cfg.dt
 
         # 2. ice model step (reference: IceCoupler_PISM::run_timestep;
         #    DISMAL and other families plug in via self.ice_step).
-        self.state = self.ice_step(self.ice_cfg, self.state, smbI, cfg.dt)
-        mass1 = jnp.sum(self.state.H.astype(mass0.dtype)) * areaI * RHO_ICE
+        new_state = self.ice_step(self.ice_cfg, state, smbI, cfg.dt)
+        mass1 = (jnp.sum(new_state.H.astype(mass0.dtype))
+                 * self.cell_area * RHO_ICE)
 
         # 3. harvest outputs, regrid I -> E/A.
-        outI = self._ice_outputs()
-        fE_out = self._apply("EvI", outI)
-        fA_out = self._apply("AvI", outI)
+        outI = self._ice_outputs(new_state)
+        fE_out = self._apply_mat(evi, outI)
+        fA_out = self._apply_mat(avi, outI)
 
         # residual: flux clamping + f32 field quantization + measure
         # mismatch between matrix weights and model cell areas
-        m_del_f32 = weighted_mass(smbI, bm_ive.wM) * cfg.dt
+        m_del_f32 = weighted_mass(smbI, ive.wM) * cfg.dt
+        stats = jnp.stack([
+            m_in, m_delivered, mass1,
+            (mass1 - mass0 - m_del_f32) + (m_del_f32 - m_delivered)])
+        return fI, fE_out, fA_out, new_state, stats
+
+    def _fusible(self, mats) -> bool:
+        """True when every matrix apply is a pytree and the ice model is
+        jittable -- then the whole step runs as ONE device dispatch."""
+        from icebin_tpu.models.ice_sheet import step as _default_step
+        ok_mats = all(
+            isinstance(m, (PallasView,)) or hasattr(m, "tiles")
+            for m in mats)
+        ok_step = (self.ice_step is _default_step
+                   or getattr(self.ice_step, "jittable", False))
+        return ok_mats and ok_step
+
+    def couple(self, t: float, fE_in: jnp.ndarray, ledger: Ledger):
+        """fE_in: (n_contract_in, nE) GCM fields on the E grid, GCM units.
+        Returns dict with E/A-grid ice outputs and diagnostics."""
+        cfg = self.cfg
+        mats = (self.mat("IvE"), self.mat("EvI"), self.mat("AvI"))
+        if self._fusible(mats):
+            if self._core_jit is None or self._core_jit_key is not self.ice_step:
+                self._core_jit = jax.jit(self._couple_core)
+                self._core_jit_key = self.ice_step
+            core = self._core_jit
+        else:
+            core = self._couple_core
+        fI, fE_out, fA_out, new_state, stats = core(
+            *mats, self.state, fE_in)
+        self.state = new_state
         # ONE batched device->host pull for the whole f64 account row (a
         # per-scalar float() sync costs a full relay round trip on TPU)
-        stats = np.asarray(jnp.stack([
-            m_in, m_delivered, mass1,
-            (mass1 - mass0 - m_del_f32) + (m_del_f32 - m_delivered)]))
+        stats = np.asarray(stats)
         ledger.post(f"{self.sheet}.mass_in_E", stats[0])
         ledger.post(f"{self.sheet}.mass_delivered_I", stats[1])
         ledger.post(f"{self.sheet}.ice_mass", stats[2])
@@ -304,14 +342,13 @@ class IceSheetCoupler:
                 "E1vE0": remap,
                 "fhc": self.rm.fhc(), "elevE": self.rm.elevE()}
 
-    def _ice_outputs(self) -> jnp.ndarray:
+    def _ice_outputs(self, state) -> jnp.ndarray:
         """(n_contract_out, nI) fields in ice units (reference pism_out
         harvest)."""
-        s = self.state
-        icy = s.H.reshape(-1) > self.cfg.min_thickness
-        elev = jnp.where(icy, s.surface.reshape(-1), jnp.nan)
-        thick = jnp.where(icy, s.H.reshape(-1), jnp.nan)
-        mask = icy.astype(s.H.dtype)
+        icy = state.H.reshape(-1) > self.cfg.min_thickness
+        elev = jnp.where(icy, state.surface.reshape(-1), jnp.nan)
+        thick = jnp.where(icy, state.H.reshape(-1), jnp.nan)
+        mask = icy.astype(state.H.dtype)
         zeros = jnp.zeros_like(mask)
         return jnp.stack([elev, thick, mask, zeros, zeros])
 

@@ -33,6 +33,10 @@ def overlap_1d(borders1, borders2, period=None):
 
     period: if given (e.g. 360 for lon), intervals wrap; borders must each
     span exactly one period.
+
+    O(n1 log n2 + nnz) sorted-merge (searchsorted window per interval), so
+    1-minute global base grids (n ~ 21600) cost ~nnz, not a dense n1 x n2
+    broadcast -- the TOPO pipeline's ``z1qx1n``-class inputs stay cheap.
     """
     b1 = np.asarray(borders1, dtype=np.float64)
     b2 = np.asarray(borders2, dtype=np.float64)
@@ -42,15 +46,26 @@ def overlap_1d(borders1, borders2, period=None):
                 and np.isclose(b2[-1] - b2[0], period)):
             raise ValueError("periodic axis must span exactly one period")
         shifts = [-period, 0.0, period]
+    tol = 1e-14 * max(abs(b1[-1] - b1[0]), 1.0)
+    n1, n2 = len(b1) - 1, len(b2) - 1
+    idx1 = np.arange(n1)
     rows, cols, vals = [], [], []
     for sh in shifts:
-        lo = np.maximum(b1[:-1, None], b2[None, :-1] + sh)
-        hi = np.minimum(b1[1:, None], b2[None, 1:] + sh)
-        ov = hi - lo
-        r, c = np.nonzero(ov > 1e-14 * max(abs(b1[-1] - b1[0]), 1.0))
-        rows.append(r)
-        cols.append(c)
-        vals.append(ov[r, c])
+        s2 = b2 + sh
+        # candidate col window for row i: all j with s2[j] < b1[i+1] and
+        # s2[j+1] > b1[i]  (half-open [lo, hi) in j)
+        lo = np.maximum(np.searchsorted(s2, b1[:-1], side="right") - 1, 0)
+        hi = np.minimum(np.searchsorted(s2, b1[1:], side="left"), n2)
+        cnt = np.maximum(hi - lo, 0)
+        r = np.repeat(idx1, cnt)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        c = (np.arange(cnt.sum()) - np.repeat(starts, cnt)
+             + np.repeat(lo, cnt))
+        ov = np.minimum(b1[r + 1], s2[c + 1]) - np.maximum(b1[r], s2[c])
+        keep = ov > tol
+        rows.append(r[keep])
+        cols.append(c[keep])
+        vals.append(ov[keep])
     return (np.concatenate(rows), np.concatenate(cols), np.concatenate(vals))
 
 

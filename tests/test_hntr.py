@@ -27,6 +27,60 @@ def test_overlap_1d_periodic_wrap():
     assert M[0, 3] == 90.0
 
 
+def test_overlap_1d_matches_dense_oracle():
+    """Sorted-merge window construction == dense broadcast oracle, on
+    irregular non-nesting borders and on a wrapped periodic axis."""
+    rng = np.random.default_rng(7)
+
+    def dense(b1, b2, period=None):
+        b1 = np.asarray(b1, float)
+        b2 = np.asarray(b2, float)
+        shifts = [-period, 0.0, period] if period else [0.0]
+        rows, cols, vals = [], [], []
+        for sh in shifts:
+            lo = np.maximum(b1[:-1, None], b2[None, :-1] + sh)
+            hi = np.minimum(b1[1:, None], b2[None, 1:] + sh)
+            ov = hi - lo
+            r, c = np.nonzero(ov > 1e-14 * max(abs(b1[-1] - b1[0]), 1.0))
+            rows.append(r)
+            cols.append(c)
+            vals.append(ov[r, c])
+        return (np.concatenate(rows), np.concatenate(cols),
+                np.concatenate(vals))
+
+    b1 = np.concatenate(([0.0], np.cumsum(rng.uniform(0.1, 2.0, 37))))
+    b2 = np.concatenate(([-0.7], np.cumsum(rng.uniform(0.05, 3.0, 23)) - 0.7))
+    for args in [(b1, b2), (b2, b1)]:
+        r0, c0, v0 = dense(*args)
+        r1, c1, v1 = overlap_1d(*args)
+        np.testing.assert_array_equal(r1, r0)
+        np.testing.assert_array_equal(c1, c0)
+        np.testing.assert_allclose(v1, v0, rtol=1e-15)
+    # periodic: two unequal global lon gratings with an offset
+    p1 = np.linspace(-180.0, 180.0, 29)
+    p2 = np.linspace(-170.0, 190.0, 18)
+    r0, c0, v0 = dense(p1, p2, period=360.0)
+    r1, c1, v1 = overlap_1d(p1, p2, period=360.0)
+    np.testing.assert_array_equal(r1, r0)
+    np.testing.assert_array_equal(c1, c0)
+    np.testing.assert_allclose(v1, v0, rtol=1e-15)
+
+
+def test_overlap_1d_minute_scale():
+    """1-minute global axis (21600 intervals) -> coarse: must run in O(nnz),
+    not a dense 21600 x N broadcast (the z1qx1n TOPO input scale)."""
+    fine = hntr_spec(21600, 10800)       # 1-minute global grid spec
+    r, c, v = overlap_1d(fine.lonb, np.linspace(-180, 180, 145),
+                         period=360.0)
+    assert len(v) >= 21600               # every fine cell covered
+    np.testing.assert_allclose(np.bincount(c, v, minlength=144), 2.5,
+                               rtol=1e-12)
+    # latitude axis in sin-lat (the hntr_matrix path)
+    sr, sc, sv = overlap_1d(np.sin(np.radians(fine.latb)),
+                            np.sin(np.radians(np.linspace(-90, 90, 91))))
+    np.testing.assert_allclose(sv.sum(), 2.0, rtol=1e-12)
+
+
 def test_hntr_matrix_conservation_fine_to_coarse():
     fine = hntr_spec(72, 46)
     coarse = hntr_spec(24, 16)
