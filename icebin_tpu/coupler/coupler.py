@@ -148,9 +148,7 @@ class IceSheetCoupler:
         time, device memory, and host->device transfer.  Mesh-decomposed
         couplers override this hook (``coupler.sharded``).
         """
-        engine = self.cfg.engine
-        if engine == "auto":
-            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        engine = self._engine()
         for name in ("EvI", "AvI"):
             M = self.rm.matrix(name, self.cfg.params)
             if engine == "pallas":
@@ -164,8 +162,36 @@ class IceSheetCoupler:
                 self._mats["Iv" + name[0]] = _dc.replace(
                     bm, transposed=not bm.transposed)
 
+    def _engine(self) -> str:
+        engine = self.cfg.engine
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        return engine
+
     def mat(self, name: str):
+        """Any of the six user matrices as a device apply.  EvI/IvE/AvI/IvA
+        are built eagerly (the coupling hot path); AvE/EvA build lazily on
+        first use and are dropped at each regeneration like the rest (the
+        reference exposes all six through the runtime,
+        ``RegridMatrices.cpp`` [U])."""
+        if name not in self._mats and name in ("AvE", "EvA"):
+            M = self.rm.matrix("AvE", self.cfg.params)
+            if self._engine() == "pallas":
+                fwd, rev = pallas_view_pair(M, small_axis="rows")
+                self._mats["AvE"], self._mats["EvA"] = fwd, rev
+            else:
+                bm = bdt_from_weighted(M, small_axis="rows",
+                                       dtype=self.cfg.matrix_dtype)
+                self._mats["AvE"] = bm
+                self._mats["EvA"] = _dc.replace(
+                    bm, transposed=not bm.transposed)
         return self._mats[name]
+
+    def apply(self, name: str, f, var_factor=None, var_offset=None):
+        """Apply runtime matrix ``name`` to a device field, with the
+        coupler's f64 mass repair (unless a unit conversion is fused)."""
+        return self._apply_mat(self.mat(name), f,
+                               var_factor=var_factor, var_offset=var_offset)
 
     # -- GCM-held EC state (E1vE0 across regenerations) ---------------------
 

@@ -156,3 +156,21 @@ def test_layout_contract_raises():
     gr = make_gr(n_ice=30)       # 30 rows not divisible by 8
     with pytest.raises(ValueError, match="divisible"):
         MeshIceSheetCoupler(gr, "toy", CouplerConfig(), make_mesh(8))
+
+
+def test_mesh_ave_eva_runtime():
+    """The lazy AvE/EvA device pair works under the mesh coupler too
+    (A/E fields are replicated, so the inherited apply is correct)."""
+    import numpy as np
+    import jax.numpy as jnp
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=1 << 30)
+    cp = GCMCoupler(make_gr(), cfg, mesh=make_mesh(8))
+    sc = cp.sheets["toy"]
+    ave = sc.mat("AvE")
+    fE = jnp.asarray(np.random.default_rng(5).uniform(1.0, 2.0,
+                                                      (2, cp.gr.nE)))
+    fA = np.asarray(sc.apply("AvE", fE), np.float64)
+    m_src = np.sum(np.asarray(fE, np.float64) * np.asarray(ave.Mw), axis=1)
+    m_dst = np.sum(np.where(np.isfinite(fA), fA, 0.0)
+                   * np.asarray(ave.wM), axis=1)
+    np.testing.assert_allclose(m_dst, m_src, rtol=1e-10)
