@@ -68,6 +68,10 @@ __all__ = ["PallasBDT", "PallasView", "pallas_from_bdt",
 HIGH = jax.lax.Precision.HIGHEST
 ONEHOT_SPLIT = True  # band matmuls: 3 exact bf16 passes instead of 6 (see
                      # _split3_dot; the one-hot side is exactly bf16)
+PRODS_PASSES = 3     # A1 MXU passes: 3 = in-kernel bf16 split (~4e-6 raw,
+                     # 1.5x faster); 6 = precision=HIGHEST (~1e-7 raw).
+                     # The B-side contract keeps HIGHEST either way (its
+                     # K=32 contraction is MXU-shape-bound, not pass-bound).
 W8_CAP = 2048       # max window slots per chunk band (VMEM: W8*NV8*512 B)
 TS = 4              # windows per pseudo-block (the padding granularity)
 PS_CHUNK = 128      # pseudo-blocks per scatter/gather chunk (C2=PS_CHUNK*TS)
@@ -360,11 +364,35 @@ def _prods_kernel(B, tiles_ref, f_ref, out_ref):
     """A1: per-pseudo-block MXU contraction, tiles x gathered field.
 
     tiles_ref (B, TS*8, 128); f_ref (B, NV, 128); out (B, TS*8, NV).
+
+    Precision: both operands split in-kernel to bf16 (hi, lo) on the VPU
+    and contracted in PRODS_PASSES=3 MXU passes (hh + lh + hl).  Measured
+    on cfg #3: 58 us vs 89 us for precision=HIGHEST's generic 6-pass
+    emulation, max relative error 3.5e-6 vs 8.7e-8 (the dropped ll term
+    and 16-bit operand truncation; conservation is untouched -- the f64
+    repair runs on weighted sums downstream).  PRODS_PASSES=6 restores
+    HIGHEST for callers that want the 1e-7 raw path.
     """
     for b in range(B):
-        out_ref[b] = jax.lax.dot_general(
-            tiles_ref[b], f_ref[b], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGH)
+        if PRODS_PASSES >= 6:
+            out_ref[b] = jax.lax.dot_general(
+                tiles_ref[b], f_ref[b], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGH)
+        else:
+            t = tiles_ref[b]
+            f = f_ref[b]
+            thi = t.astype(jnp.bfloat16)
+            tlo = (t - thi.astype(jnp.float32)).astype(jnp.bfloat16)
+            fhi = f.astype(jnp.bfloat16)
+            flo = (f - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (1,)), ((), ()))
+            acc = jax.lax.dot_general(thi, fhi, dims,
+                                      preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(tlo, fhi, dims,
+                                       preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(thi, flo, dims,
+                                       preferred_element_type=jnp.float32)
+            out_ref[b] = acc
 
 
 def _split3_dot(oh_bool, x, dims):
@@ -395,11 +423,14 @@ def _split3_dot(oh_bool, x, dims):
     return acc
 
 
-def _scatter_kernel(W8, G, base_ref, p2_ref, woff_ref, out_ref):
+def _scatter_kernel(W8, G, nstep, scale, base_ref, p2_ref, woff_ref,
+                    winv_ref, out_ref):
     """A2: one-hot band matmuls accumulating tile rows into E3 windows.
 
     Each grid step loops over G chunks in-kernel (inputs land in one DMA;
-    no per-chunk grid-step overhead). Padded chunks have p2 == 0.
+    no per-chunk grid-step overhead). Padded chunks have p2 == 0.  With
+    ``scale`` the winvS multiply is fused on the last step (saves the XLA
+    elementwise round trip over the E3 accumulator).
     """
     i = pl.program_id(0)
 
@@ -416,6 +447,11 @@ def _scatter_kernel(W8, G, base_ref, p2_ref, woff_ref, out_ref):
                            (((1,), (0,)), ((), ())))  # (W8, 8*NV)
         b8 = pl.multiple_of(base_ref[i * G + g], TILE_R)
         out_ref[pl.ds(b8, W8), :] += band
+
+    if scale:
+        @pl.when(i == nstep - 1)
+        def _():
+            out_ref[:] = out_ref[:] * winv_ref[:]
 
 
 def _gather_kernel(W8, G, base_ref, e3_ref, woffT_ref, out_ref):
@@ -489,23 +525,27 @@ def _mk_prods(pm: PallasBDT, interpret: bool):
     )
 
 
-def _mk_scatter(pm: PallasBDT, interpret: bool):
+def _mk_scatter(pm: PallasBDT, interpret: bool, scale: bool = False):
     C2, NV, W8 = PS_CHUNK * pm.ts, pm.NV, pm.W8
     G = min(CH_GROUP, pm.nchunkpad)
+    nstep = pm.nchunkpad // G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(pm.nchunkpad // G,),
+        grid=(nstep,),
         in_specs=[
             pl.BlockSpec((G * C2, TILE_R * NV), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G * TILE_R, C2), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, W8, G), grid_spec=grid_spec,
+        functools.partial(_scatter_kernel, W8, G, nstep, scale),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pm.NWpad, TILE_R * NV), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -618,6 +658,9 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
     if interpret is None:
         interpret = _interpret_default()
     fbp = jnp.take(fb, pm.pseudo2blk, axis=0)       # pseudo-order gather
+    # with no overflow the winvS scale fuses into the scatter's last step;
+    # overflow entries must be added unscaled first, so the scale waits
+    in_scale = scale and pm.ov_s is None
     # Mosaic rejects x64 grid indices; the kernels are all-f32/int32, so
     # trace them with x64 scoped off (callers may run a global-x64 ledger).
     with jax.enable_x64(False):
@@ -626,7 +669,10 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
         padrows = pm.nchunkpad * PS_CHUNK * pm.ts - pm.npspad * pm.ts
         if padrows:
             p2 = jnp.pad(p2, ((0, padrows), (0, 0)))
-        acc = _mk_scatter(pm, interpret)(pm.base, p2, pm.w_off)
+        acc = _mk_scatter(pm, interpret, in_scale)(
+            pm.base, p2, pm.w_off, pm.winvS_e3)
+    if in_scale:
+        return acc
     if pm.ov_s is not None:
         fI = pm.blocked_to_ice(fb)                          # (NV, nice)
         g = jnp.take(fI, pm.ov_c, axis=1) * pm.ov_v[None, :]

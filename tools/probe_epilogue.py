@@ -61,7 +61,7 @@ def main():
                p.base,
                pb._mk_prods(p, False)(p.tiles2, f).reshape(
                    p.nblkpad * p.T, 8 * p.NV),
-               p.w_off),
+               p.w_off, p.winvS_e3),
            pm, carry=fb)
 
 

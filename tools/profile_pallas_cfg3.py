@@ -7,32 +7,35 @@ import jax.numpy as jnp
 import bench as B
 from icebin_tpu.ops import pallas_bdt as pb
 
-N = 64
-LAT = 0.027
+N1, N2 = 32, 160
 
 
 def timeit(tag, fn, *consts, carry, bytes_=None):
-    @jax.jit
-    def chain(cs, f0):
-        def body(c, _):
-            out = fn(*cs, c)
-            return f0 * (1.0 + jnp.sum(out) * 1e-37), ()
-        c, _ = jax.lax.scan(body, f0, None, length=N)
-        return c.sum()
-    float(chain(consts, carry))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chain(consts, carry))
-        ts.append(time.perf_counter() - t0)
-    per = (min(ts) - LAT) / N
+    def mk(n):
+        @jax.jit
+        def chain(cs, f0):
+            def body(c, _):
+                out = fn(*cs, c)
+                return f0 * (1.0 + jnp.sum(out) * 1e-37), ()
+            c, _ = jax.lax.scan(body, f0, None, length=n)
+            return c.sum()
+        return chain
+    c1, c2 = mk(N1), mk(N2)
+    float(c1(consts, carry)); float(c2(consts, carry))
+    t1s, t2s = [], []
+    for _ in range(4):
+        t0 = time.perf_counter(); float(c1(consts, carry))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(c2(consts, carry))
+        t2s.append(time.perf_counter() - t0)
+    per = (min(t2s) - min(t1s)) / (N2 - N1)
     gbs = "" if bytes_ is None else f" -> {bytes_/per/1e9:6.1f} GB/s"
     print(f"{tag:30s}: {per*1e6:8.1f} us/iter{gbs}")
     return per
 
 
 def main():
-    mats = B.build_matrices()
+    mats, _ = B.build_matrices()
     (pm, Me, Mi) = mats["greenland"]
     rng = np.random.default_rng(0)
     fI = jnp.asarray(rng.uniform(0.5, 1.5, (pm.NV, pm.nice)), jnp.float32)
@@ -57,7 +60,8 @@ def main():
            bytes_=tb + pbytes)
     timeit("A2 scatter",
            lambda p, x: pb._mk_scatter(p, False)(
-               p.base, x.reshape(p.npspad * p.ts, 8 * p.NV), p.w_off),
+               p.base, x.reshape(p.npspad * p.ts, 8 * p.NV), p.w_off,
+               p.winvS_e3),
            pm, carry=fwin3, bytes_=pbytes)
     timeit("B1 gather",
            lambda p, x: pb._mk_gather(p, False)(p.base, x, p.w_offT),
