@@ -368,6 +368,62 @@ class IceSheetCoupler:
                 "E1vE0": remap,
                 "fhc": self.rm.fhc(), "elevE": self.rm.elevE()}
 
+    def couple_window(self, fE_seq: jnp.ndarray):
+        """K coupling steps as ONE jitted ``lax.scan`` dispatch.
+
+        The per-step relay/PCIe sync (~30 ms through the axon tunnel)
+        dominates ``couple``'s wall time, so transient runs scan a whole
+        regeneration window on device and sync once: matrices are FIXED
+        across the window (the caller bounds K by the regen cadence and
+        handles regen + E1vE0 at the boundary -- reference semantics:
+        matrices only change when ``update_topo`` runs [U]).
+
+        fE_seq: (K, n_contract_in, nE).  Returns (stats (K, 4) f64 host
+        array for the ledger, dict with the LAST step's fI/fE_out/fA_out).
+        Requires a fusible engine (pytree matrix applies + jittable ice
+        model); ``GCMCoupler.run_transient(fused=True)`` falls back to the
+        stepwise loop otherwise.
+        """
+        mats = (self.mat("IvE"), self.mat("EvI"), self.mat("AvI"))
+        if not self._fusible(mats):
+            raise TypeError("couple_window needs a jittable engine; use "
+                            "stepwise couple() for this configuration")
+        K = int(fE_seq.shape[0])
+        key = (self.ice_step, K)
+        if getattr(self, "_window_jit_key", None) != key:
+            core = self._couple_core
+
+            @jax.jit
+            def window(ive, evi, avi, state0, fE_seq):
+                nI = ive.wM.shape[0]
+                nE_out = evi.wM.shape[0]
+                nA_out = avi.wM.shape[0]
+                n_in = fE_seq.shape[1]
+                n_out = len(self.contract_out)
+                dt = fE_seq.dtype
+                init = (state0,
+                        jnp.zeros((n_in, nI), dt),
+                        jnp.zeros((n_out, nE_out), dt),
+                        jnp.zeros((n_out, nA_out), dt))
+
+                def body(carry, fE):
+                    st = carry[0]
+                    fI, fE_out, fA_out, new_st, stats = core(
+                        ive, evi, avi, st, fE)
+                    return (new_st, fI, fE_out, fA_out), stats
+
+                carry, stats = jax.lax.scan(body, init, fE_seq)
+                return carry, stats
+
+            self._window_jit = window
+            self._window_jit_key = key
+        (new_state, fI, fE_out, fA_out), stats = self._window_jit(
+            *mats, self.state, fE_seq)
+        self.state = new_state
+        self.steps_since_regen += K
+        return np.asarray(stats), {"fI": fI, "fE_out": fE_out,
+                                   "fA_out": fA_out}
+
     def _ice_outputs(self, state) -> jnp.ndarray:
         """(n_contract_out, nI) fields in ice units (reference pism_out
         harvest)."""
@@ -423,11 +479,68 @@ class GCMCoupler:
         return results
 
     def run_transient(self, forcing_fn: Callable[[float, str], jnp.ndarray],
-                      n_steps: int):
+                      n_steps: int, fused: bool = False):
         """BASELINE config #4: N-step transient loop, conservation per step.
-        forcing_fn(t, sheet) -> (n_in, nE) E-grid forcing."""
-        out = None
-        for _ in range(n_steps):
-            fE = {name: forcing_fn(self.time, name) for name in self.sheets}
-            out = self.couple(fE)
-        return out
+        forcing_fn(t, sheet) -> (n_in, nE) E-grid forcing.
+
+        ``fused=True`` scans each regeneration window on device in ONE
+        dispatch per sheet (``IceSheetCoupler.couple_window``): per-step
+        conservation rows still land in the ledger (harvested as a (K, 4)
+        f64 block), regen + E1vE0 run at window boundaries exactly as in
+        the stepwise loop, and the writer (if any) dumps the window's last
+        step.  Falls back to stepwise when an engine is not jittable."""
+        if not fused:
+            out = None
+            for _ in range(n_steps):
+                fE = {name: forcing_fn(self.time, name)
+                      for name in self.sheets}
+                out = self.couple(fE)
+            return out
+        try:
+            return self._run_transient_fused(forcing_fn, n_steps)
+        except TypeError:
+            return self.run_transient(forcing_fn, n_steps, fused=False)
+
+    def _run_transient_fused(self, forcing_fn, n_steps: int):
+        cfg = self.cfg
+        results = None
+        done = 0
+        while done < n_steps:
+            k = min(n_steps - done,
+                    *(sc.cfg.regen_every - sc.steps_since_regen
+                      for sc in self.sheets.values()))
+            k = max(k, 1)
+            stats, results = {}, {}
+            for name, sc in self.sheets.items():
+                fE_seq = jnp.stack([forcing_fn(self.time + i * cfg.dt, name)
+                                    for i in range(k)])
+                stats[name], results[name] = sc.couple_window(fE_seq)
+            for i in range(k):
+                self.ledger.open_step(self.time + i * cfg.dt)
+                for name in self.sheets:
+                    s = stats[name][i]
+                    self.ledger.post(f"{name}.mass_in_E", s[0])
+                    self.ledger.post(f"{name}.mass_delivered_I", s[1])
+                    self.ledger.post(f"{name}.ice_mass", s[2])
+                    self.ledger.post(f"{name}.mass_residual", s[3])
+            self.time += k * cfg.dt
+            done += k
+            for name, sc in self.sheets.items():
+                if sc.steps_since_regen >= sc.cfg.regen_every:
+                    old_rm = sc.regen_matrices()
+                    if old_rm is not None:
+                        remap = e1ve0_matrix(old_rm, sc.rm)
+                        if sc.held_E is not None:
+                            sc._remap_held(remap, old_rm, self.ledger)
+                results[name]["fhc"] = sc.rm.fhc()
+                results[name]["elevE"] = sc.rm.elevE()
+            if self.writer is not None:
+                import numpy as _np
+                fields = {}
+                for name, r in results.items():
+                    fields[f"{name}.fI"] = _np.asarray(r["fI"])
+                    fields[f"{name}.fE_out"] = _np.asarray(r["fE_out"])
+                    fields[f"{name}.fA_out"] = _np.asarray(r["fA_out"])
+                self.writer.dump(self.time, fields,
+                                 self.ledger.to_rows()[-1])
+        return results

@@ -246,3 +246,62 @@ def test_ave_eva_device_applies():
     cp.couple({"toy": forcing(0.0, "toy", coupler=cp)})
     assert "AvE" not in sc._mats
     assert sc.mat("AvE") is not ave
+
+
+def test_fused_transient_matches_stepwise():
+    """run_transient(fused=True) scans regen windows on device in one
+    dispatch; ledger rows and final ice state must match the stepwise loop
+    (same math, same regen/E1vE0 cadence), conservation < 1e-10 per step."""
+    cp1 = make_coupler(regen_every=4)
+    cp2 = make_coupler(regen_every=4)
+    f = lambda t, s: forcing(t, s, coupler=cp1)
+    cp1.run_transient(f, 10)
+    cp2.run_transient(f, 10, fused=True)
+    r1 = cp1.ledger.to_rows()
+    r2 = cp2.ledger.to_rows()
+    assert len(r1) == len(r2) == 10
+    for a, b in zip(r1, r2):
+        assert a.keys() == b.keys()
+        for key in a:
+            na, nb = a[key], b[key]
+            if na == 0.0:
+                assert nb == 0.0
+            else:
+                assert abs(na - nb) / abs(na) < 1e-9, (key, na, nb)
+        m_in, m_del = b["toy.mass_in_E"], b["toy.mass_delivered_I"]
+        assert abs(m_in - m_del) / abs(m_in) < 1e-10
+    np.testing.assert_allclose(np.asarray(cp2.sheets["toy"].state.H),
+                               np.asarray(cp1.sheets["toy"].state.H),
+                               rtol=1e-6, atol=1e-9)
+    # both ran the same number of regenerations
+    assert (cp1.sheets["toy"].steps_since_regen
+            == cp2.sheets["toy"].steps_since_regen)
+
+
+def test_fused_transient_with_held_state_and_writer(tmp_path):
+    """Fused windows preserve GCM-held EC state mass across regens and the
+    writer dumps window boundaries."""
+    from icebin_tpu.coupler.writer import CouplerWriter
+    cp = make_coupler(regen_every=3)
+    sc = cp.sheets["toy"]
+    rng = np.random.default_rng(9)
+    held = rng.uniform(1.0, 2.0, cp.gr.nE)
+    sc.set_held_state(held)
+    cp.writer = CouplerWriter(str(tmp_path / "dumps"))
+    cp.run_transient(lambda t, s: forcing(t, s, coupler=cp), 7, fused=True)
+    rows = cp.ledger.to_rows()
+    assert len(rows) == 7
+    # regens happened at steps 3 and 6 -> held_mass posted on those rows
+    regen_rows = [r for r in rows if "toy.held_mass" in r]
+    assert len(regen_rows) == 2
+    # held mass conserved across each basis change: new + dropped - gained
+    # == mass before the remap (tracked pairwise between regen rows)
+    m_prev = None
+    for r in regen_rows:
+        closed = (r["toy.held_mass"] + r["toy.held_mass_dropped"]
+                  - r["toy.held_mass_gained"])
+        if m_prev is not None:
+            assert abs(closed - m_prev) / abs(m_prev) < 1e-10
+        m_prev = r["toy.held_mass"]
+    import os
+    assert os.listdir(tmp_path / "dumps")
