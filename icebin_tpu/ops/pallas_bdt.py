@@ -201,7 +201,6 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
     row_start = np.asarray(bm.row_start, np.int64)
     nblk, T = row_start.shape
     nsmall, nice = bm.nsmall, bm.nice
-    NV = nv
     w = row_start // TILE_R                           # window ids (nblk, T)
     real = np.abs(tiles).sum(axis=(2, 3)) > 0         # (nblk, T)
 
@@ -236,7 +235,79 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
     haspid[pid] = True
     pseudo2blk[~haspid] = nblkpad - 1               # trash rows
     # (zero tiles make trash contributions exact zeros)
+    return _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first,
+                        np.asarray(bm.wS, np.float64),
+                        np.asarray(bm.wI, np.float64),
+                        nsmall, nice, nblk, nblkpad, nv, ts,
+                        bm.ov_rows, bm.ov_cols, bm.ov_vals)
 
+
+def _pseudo_from_coo(s, i, v, nsmall, nice, ts):
+    """COO (small rows s, ice cols i, vals v) -> pseudo-block intermediates,
+    WITHOUT materializing the dense (nblk, T, 8, 128) BDT tile array (which
+    costs minutes and gigabytes at Antarctica-5km scale: 120 s profiled,
+    77 s of it f64->f32 astype on the dense intermediate).
+
+    Ordering contract (bit-compatible with the BDT path): windows ascend
+    within each block; pseudo ids ascend with (block, window rank).
+    """
+    s = np.asarray(s, np.int64)
+    i = np.asarray(i, np.int64)
+    v = np.asarray(v, np.float64)
+    nblk = max(1, -(-nice // TILE_C))
+    blk = i // TILE_C
+    win = s // TILE_R
+    nw_tot = nsmall // TILE_R + 2
+    key = blk * nw_tot + win
+    uk, inv = np.unique(key, return_inverse=True)     # sorted (blk, win)
+    ub = (uk // nw_tot).astype(np.int64)              # block of each window
+    uw = (uk % nw_tot).astype(np.int64)               # window id
+    nwin = len(uk)
+
+    cnt = np.bincount(ub, minlength=nblk)             # windows per block
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    rank = np.arange(nwin) - starts[ub]               # window rank in block
+    nps_b = -(-cnt // ts)
+    ps_off = np.concatenate([[0], np.cumsum(nps_b)[:-1]])
+    nps = int(nps_b.sum())
+    npspad = max(-(-nps // PS_CHUNK) * PS_CHUNK, PS_CHUNK)
+
+    wpid = (ps_off[ub] + rank // ts).astype(np.int64)  # pseudo of window
+    wslot = (rank % ts).astype(np.int64)
+
+    # scatter entries straight into the pseudo tile array via bincount
+    flat = ((wpid[inv] * ts + wslot[inv]) * TILE_R + s % TILE_R) * TILE_C \
+        + i % TILE_C
+    tiles_flat = np.bincount(flat, weights=v,
+                             minlength=npspad * ts * TILE_R * TILE_C)
+    tiles_ps = tiles_flat.reshape(npspad, ts, TILE_R, TILE_C).astype(
+        np.float32)
+
+    w_ps = np.zeros((npspad, ts), np.int64)
+    w_ps[wpid, wslot] = uw
+    first = np.zeros(npspad, np.int64)
+    first[wpid[wslot == 0]] = uw[wslot == 0]
+    realp = np.zeros((npspad, ts), bool)
+    realp[wpid, wslot] = True
+    w_ps = np.where(realp, w_ps, first[:, None])
+    pseudo2blk = np.zeros(npspad, np.int64)
+    pseudo2blk[wpid] = ub
+
+    nblkpad = -(-nblk // TILE_R) * TILE_R
+    haspid = np.zeros(npspad, bool)
+    haspid[wpid] = True
+    pseudo2blk[~haspid] = nblkpad - 1
+    return (tiles_ps, w_ps, realp, pseudo2blk, haspid, first, nblk, nblkpad,
+            npspad)
+
+
+def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
+                 nsmall, nice, nblk, nblkpad, nv, ts,
+                 ov_rows, ov_cols, ov_vals) -> PallasBDT:
+    """Shared packing tail: window-sort pseudo-blocks, chunk, band-cap,
+    demote out-of-band tiles to COO, build weight layouts."""
+    NV = nv
+    npspad = tiles_ps.shape[0]
     # Order pseudo-blocks by WINDOW, not by ice block: the pseudo2blk
     # indirection makes pseudo order free (A1's field gather and B2''s
     # true-block RMW take any order), and window-sorted chunks have the
@@ -280,9 +351,9 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
             ex_c.append(p2b[k, c // ts] * TILE_C + cc)
             ex_v.append(tv[rr, cc])
             t_ps[k, c] = 0.0
-    ov_s = [np.asarray(bm.ov_rows)] if bm.ov_rows is not None else []
-    ov_c = [np.asarray(bm.ov_cols)] if bm.ov_cols is not None else []
-    ov_v = [np.asarray(bm.ov_vals)] if bm.ov_vals is not None else []
+    ov_s = [np.asarray(ov_rows)] if ov_rows is not None else []
+    ov_c = [np.asarray(ov_cols)] if ov_cols is not None else []
+    ov_v = [np.asarray(ov_vals)] if ov_vals is not None else []
     ov_s = np.concatenate(ov_s + ex_s) if (ov_s or ex_s) else None
     ov_c = np.concatenate(ov_c + ex_c) if (ov_c or ex_c) else None
     ov_v = np.concatenate(ov_v + ex_v) if (ov_v or ex_v) else None
@@ -291,8 +362,6 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
     NWpad = max(NW, int(base8.max(initial=0)) + W8)
     NWpad = -(-NWpad // TILE_R) * TILE_R
 
-    wS = np.asarray(bm.wS, np.float64)
-    wI = np.asarray(bm.wI, np.float64)
     winvS = np.where(wS != 0, 1.0 / np.where(wS != 0, wS, 1.0), 0.0)
     winvI = np.where(wI != 0, 1.0 / np.where(wI != 0, wI, 1.0), 0.0)
     wvs = np.zeros(NWpad * TILE_R)
@@ -333,27 +402,43 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
                          max_tiles_per_block=None) -> PallasBDT:
     """Build the fused-kernel form straight from a WeightedMatrix.
 
-    The BDT intermediate is built with the EXACT max windows/block so no
-    entries land in its COO overflow (pseudo-blocks absorb heavy blocks at
-    TS granularity instead; the XLA scatter epilogue for overflow costs
-    ~100x its byte count — measured 255 us for 765 entries). Pathological
-    polar blocks still demote via the W8 band cap.
+    Packs the pseudo-block tiles DIRECTLY from the COO entries
+    (``_pseudo_from_coo``): every window gets a slot (pseudo-blocks absorb
+    heavy blocks at TS granularity; the XLA scatter epilogue for overflow
+    costs ~100x its byte count — measured 255 us for 765 entries), so the
+    only COO demotion is the W8 band cap for pathological polar blocks.
+    The dense (nblk, T, 8, 128) BDT intermediate of round 1 is gone: it
+    cost 120 s host-side at Antarctica-5km scale vs ~2 s direct.
+
+    An explicit ``max_tiles_per_block`` routes through the legacy dense-BDT
+    path (its per-block cap demotes excess windows to COO -- kept as a test
+    hook for the overflow epilogue); the default direct packer has no cap.
     """
-    from icebin_tpu.ops.bdt import bdt_from_weighted
-    if max_tiles_per_block is None:
-        s = M.rows if small_axis == "rows" else M.cols
-        i = M.cols if small_axis == "rows" else M.rows
-        if len(s) == 0:
-            max_tiles_per_block = 1     # empty shard (masked-out range)
-        else:
-            nw = int(np.max(s) // TILE_R) + 2
-            cnt = np.bincount(
-                np.unique((i // TILE_C) * nw + s // TILE_R) // nw)
-            max_tiles_per_block = int(cnt.max(initial=1))
-    bm = bdt_from_weighted(M, small_axis=small_axis,
-                           max_tiles_per_block=max_tiles_per_block,
-                           to_device=False)
-    return pallas_from_bdt(bm, nv=nv, ts=ts)
+    if max_tiles_per_block is not None:
+        from icebin_tpu.ops.bdt import bdt_from_weighted
+        bm = bdt_from_weighted(M, small_axis=small_axis,
+                               max_tiles_per_block=max_tiles_per_block,
+                               to_device=False)
+        return pallas_from_bdt(bm, nv=nv, ts=ts)
+    if small_axis == "rows":
+        s, i, v = M.rows, M.cols, M.vals
+        nsmall, nice = M.shape
+        wS, wI = M.wM, M.Mw
+    else:
+        s, i, v = M.cols, M.rows, M.vals
+        nice, nsmall = M.shape
+        wS, wI = M.Mw, M.wM
+    if len(s) == 0:                      # empty shard (masked-out range)
+        s = np.zeros(1, np.int64)
+        i = np.zeros(1, np.int64)
+        v = np.zeros(1, np.float64)
+    (tiles_ps, w_ps, realp, pseudo2blk, haspid, first, nblk, nblkpad,
+     npspad) = _pseudo_from_coo(s, i, v, nsmall, nice, ts)
+    return _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first,
+                        np.asarray(wS, np.float64),
+                        np.asarray(wI, np.float64),
+                        nsmall, nice, nblk, nblkpad, nv, ts,
+                        None, None, None)
 
 
 # ---------------------------------------------------------------------------
