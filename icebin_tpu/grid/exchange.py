@@ -216,6 +216,10 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
 
     areas = np.empty(len(pairA), dtype=np.float64)
     cents = np.empty((len(pairA), 2), dtype=np.float64)
+    # two-phase: DISPATCH every chunk first (device engines return async
+    # arrays; forcing a fetch per chunk costs one relay round trip each,
+    # which dominated large polar builds), then FETCH
+    pending = []
     for s in range(0, len(pairA), chunk):
         e = min(s + chunk, len(pairA))
         subj = polysA[pairA[s:e]]
@@ -226,6 +230,8 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
         c = 0.5 * (rect[:, 0:2] + rect[:, 2:4])
         a, ctr = clip_fn(subj - c[:, None, :],
                          rect - np.concatenate([c, c], axis=1))
+        pending.append((s, e, a, ctr, c))
+    for s, e, a, ctr, c in pending:
         areas[s:e] = np.abs(np.asarray(a, dtype=np.float64))
         cents[s:e] = np.asarray(ctr, dtype=np.float64) + c
 

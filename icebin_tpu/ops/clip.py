@@ -127,6 +127,9 @@ def make_clip_engine(engine: str = "jax", dtype=None):
             rect = np.concatenate(
                 [rect, np.tile(np.array([[0.0, 0.0, 1.0, 1.0]]), (Bp - B, 1))])
         a, c = kernel(jnp.asarray(subj, dtype), jnp.asarray(rect, dtype))
-        return np.asarray(a)[:B], np.asarray(c)[:B]
+        # return ASYNC device slices -- the exchange builder dispatches all
+        # chunks before fetching any (per-chunk np.asarray = one relay
+        # round trip each, dominating large polar builds)
+        return a[:B], c[:B]
 
     return fn

@@ -78,6 +78,9 @@ PS_CHUNK = 128      # pseudo-blocks per scatter/gather chunk (C2=PS_CHUNK*TS)
 BLK_STEP = 64       # pseudo-blocks per streaming-kernel grid step (swept
                     # on-chip: 64 -> 617 GB/s, 128 -> 566, 256 -> 600)
 CH_GROUP = 16       # chunks per scatter/gather grid step (in-kernel loop)
+SEC_BLOCKS = 1024   # true-ice blocks per B2' accumulator section (4 MB of
+                    # VMEM at NV=8; one global accumulator stops fitting
+                    # VMEM past ~2k blocks -- see _finish_pack)
 
 
 def _interpret_default() -> bool:
@@ -107,6 +110,10 @@ class PallasBDT:
     ov_s: Optional[jnp.ndarray]
     ov_c: Optional[jnp.ndarray]
     ov_v: Optional[jnp.ndarray]
+    #: per-B2'-grid-step accumulator section index / entry-exit flags
+    #: (bit0 = first step of its section: zero-init; bit1 = last: scale)
+    sec_idx: jnp.ndarray      # (npspad // BLK_STEP,) int32
+    sec_flags: jnp.ndarray    # (npspad // BLK_STEP,) int32
     # static geometry
     ts: int                   # windows per pseudo-block
     W8: int
@@ -115,15 +122,17 @@ class PallasBDT:
     nchunkpad: int            # chunks padded to a CH_GROUP-multiple
     npspad: int               # padded pseudo-block count
     nblk: int                 # true ice blocks (unpadded)
-    nblkpad: int              # true ice blocks padded (blocked layout rows)
+    nblkpad: int              # true ice blocks padded to whole sections
     NWpad: int
     nsmall: int
     nice: int
+    sec_blocks: int           # blocks per B2' accumulator section
 
     _STATIC = ("ts", "W8", "NV", "nchunk", "nchunkpad", "npspad", "nblk",
-               "nblkpad", "NWpad", "nsmall", "nice")
+               "nblkpad", "NWpad", "nsmall", "nice", "sec_blocks")
     _ARRAYS = ("tiles2", "pseudo2blk", "w_off", "w_offT", "base",
-               "winvS_e3", "winvI_blk", "wS", "wI", "ov_s", "ov_c", "ov_v")
+               "winvS_e3", "winvI_blk", "wS", "wI", "ov_s", "ov_c", "ov_v",
+               "sec_idx", "sec_flags")
 
     def tree_flatten(self):
         return (tuple(getattr(self, n) for n in self._ARRAYS),
@@ -190,7 +199,8 @@ class PallasBDT:
 # builder
 # ---------------------------------------------------------------------------
 
-def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
+def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS,
+                    sec_blocks=None) -> PallasBDT:
     """Re-pack an XLA BDTMatrix into the pseudo-block fused-kernel layout.
 
     ``bm`` should be built with ``max_tiles_per_block`` = the exact max so
@@ -239,7 +249,8 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS) -> PallasBDT:
                         np.asarray(bm.wS, np.float64),
                         np.asarray(bm.wI, np.float64),
                         nsmall, nice, nblk, nblkpad, nv, ts,
-                        bm.ov_rows, bm.ov_cols, bm.ov_vals)
+                        bm.ov_rows, bm.ov_cols, bm.ov_vals,
+                        sec_blocks=sec_blocks)
 
 
 def _pseudo_from_coo(s, i, v, nsmall, nice, ts):
@@ -303,24 +314,78 @@ def _pseudo_from_coo(s, i, v, nsmall, nice, ts):
 
 def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
                  nsmall, nice, nblk, nblkpad, nv, ts,
-                 ov_rows, ov_cols, ov_vals) -> PallasBDT:
-    """Shared packing tail: window-sort pseudo-blocks, chunk, band-cap,
-    demote out-of-band tiles to COO, build weight layouts."""
+                 ov_rows, ov_cols, ov_vals, sec_blocks=None) -> PallasBDT:
+    """Shared packing tail: order pseudo-blocks SECTION-major (VMEM-sized
+    true-block accumulator tiles for B2') then WINDOW-sorted within each
+    section, chunk, band-cap, demote out-of-band tiles to COO, build
+    weight layouts.
+
+    Sections: the dest-ice kernel keeps its true-block accumulator
+    VMEM-resident; one global accumulator stops fitting past ~2k blocks
+    (Antarctica 5 km: 9800 blocks = 38 MB >> 16 MB VMEM, measured 3x
+    slowdown as Mosaic spills it).  Blocks are cut into SEC_BLOCKS-sized
+    sections; pseudo-blocks are grouped by section (padded per section to
+    whole chunks so band chunks and B2' grid steps never straddle), and
+    the kernel's out block rides a scalar-prefetched section index --
+    zero-init on section entry, weight scale on section exit.
+
+    Within a section, pseudo-blocks sort by WINDOW: the pseudo2blk
+    indirection makes the order free (A1's gather and B2''s RMW take any
+    order) and window-sorted chunks have the narrowest W8 band for ANY
+    geometry -- a pole-centered sheet otherwise spreads each chunk over a
+    whole latitude ring (measured W8 1064 vs 192 for Greenland)."""
     NV = nv
-    npspad = tiles_ps.shape[0]
-    # Order pseudo-blocks by WINDOW, not by ice block: the pseudo2blk
-    # indirection makes pseudo order free (A1's field gather and B2''s
-    # true-block RMW take any order), and window-sorted chunks have the
-    # narrowest possible W8 band for ANY grid geometry — a pole-centered
-    # sheet (one ice row crossing every longitude) otherwise spreads each
-    # chunk over a whole latitude ring (measured W8 1064 vs 192 for
-    # Greenland; band-matmul cost scales with W8).
-    key = np.where(haspid, first, np.int64(2) ** 60)
-    order = np.argsort(key, kind="stable")
-    tiles_ps = tiles_ps[order]
-    w_ps = w_ps[order]
-    pseudo2blk = pseudo2blk[order]
-    realp = realp[order]
+
+    # -- section-major, window-sorted pseudo order with per-section padding
+    # (small matrices keep ONE section exactly their own size -- no blocked
+    # -layout inflation; a mesh build passes a COMMON sec_blocks so every
+    # shard's section scheme matches)
+    if sec_blocks is None:
+        sec_blocks = min(SEC_BLOCKS, nblkpad)
+    ridx = np.nonzero(haspid)[0]
+    nsec = max(1, -(-nblkpad // sec_blocks))
+    nblkpad = nsec * sec_blocks
+    sec_of = pseudo2blk[ridx] // sec_blocks
+    order = np.lexsort((first[ridx], sec_of))
+    ridx = ridx[order]
+    sec_of = sec_of[order]
+    cnt_sec = np.bincount(sec_of, minlength=nsec)
+    pad_sec = (-(-cnt_sec // PS_CHUNK) * PS_CHUNK)
+    pad_sec = np.maximum(pad_sec, 0)
+    npspad = max(int(pad_sec.sum()), PS_CHUNK)
+    if pad_sec.sum() == 0:
+        pad_sec[nsec - 1] = npspad
+    dst_off = np.concatenate([[0], np.cumsum(pad_sec)[:-1]])
+    pos = dst_off[sec_of] + (np.arange(len(ridx))
+                             - np.concatenate([[0], np.cumsum(cnt_sec)[:-1]]
+                                              )[sec_of])
+    t_new = np.zeros((npspad,) + tiles_ps.shape[1:], tiles_ps.dtype)
+    t_new[pos] = tiles_ps[ridx]
+    # trash pseudos: zero tiles, block = their section's last block, window
+    # = the section's last real window (keeps chunk bands narrow)
+    p2_new = np.empty(npspad, np.int64)
+    w_new = np.zeros((npspad, ts), np.int64)
+    r_new = np.zeros((npspad, ts), bool)
+    for k in range(nsec):
+        a, b = dst_off[k], dst_off[k] + pad_sec[k]
+        p2_new[a:b] = min((k + 1) * sec_blocks, nblkpad) - 1
+        if cnt_sec[k]:
+            w_new[a:b] = first[ridx[sec_of == k][-1]]
+    p2_new[pos] = pseudo2blk[ridx]
+    w_new[pos] = w_ps[ridx]
+    r_new[pos] = realp[ridx]
+    tiles_ps, w_ps, realp, pseudo2blk = t_new, w_new, r_new, p2_new
+
+    # -- per-B2'-step section metadata (nstep = npspad // BLK_STEP)
+    nstep_b2 = npspad // BLK_STEP
+    step_sec = (pseudo2blk[::BLK_STEP] // sec_blocks).astype(np.int32)
+    sec_flags = np.zeros(nstep_b2, np.int32)
+    firsts = np.ones(nstep_b2, bool)
+    firsts[1:] = step_sec[1:] != step_sec[:-1]
+    sec_flags[firsts] |= 1
+    lasts = np.ones(nstep_b2, bool)
+    lasts[:-1] = step_sec[1:] != step_sec[:-1]
+    sec_flags[lasts] |= 2
 
     # chunking over pseudo rows for the scatter/gather band kernels
     C2 = PS_CHUNK * ts
@@ -392,14 +457,16 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
         ov_s=None if ov_s is None else jnp.asarray(ov_s, jnp.int32),
         ov_c=None if ov_c is None else jnp.asarray(ov_c, jnp.int32),
         ov_v=None if ov_v is None else jnp.asarray(ov_v, jnp.float32),
+        sec_idx=jnp.asarray(step_sec),
+        sec_flags=jnp.asarray(sec_flags),
         ts=ts, W8=W8, NV=NV, nchunk=nchunk, nchunkpad=nchunkpad,
         npspad=npspad, nblk=nblk, nblkpad=nblkpad, NWpad=NWpad,
-        nsmall=int(nsmall), nice=int(nice))
+        nsmall=int(nsmall), nice=int(nice), sec_blocks=sec_blocks)
 
 
 def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
-                         ts: int = TS,
-                         max_tiles_per_block=None) -> PallasBDT:
+                         ts: int = TS, max_tiles_per_block=None,
+                         sec_blocks=None) -> PallasBDT:
     """Build the fused-kernel form straight from a WeightedMatrix.
 
     Packs the pseudo-block tiles DIRECTLY from the COO entries
@@ -419,7 +486,7 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
         bm = bdt_from_weighted(M, small_axis=small_axis,
                                max_tiles_per_block=max_tiles_per_block,
                                to_device=False)
-        return pallas_from_bdt(bm, nv=nv, ts=ts)
+        return pallas_from_bdt(bm, nv=nv, ts=ts, sec_blocks=sec_blocks)
     if small_axis == "rows":
         s, i, v = M.rows, M.cols, M.vals
         nsmall, nice = M.shape
@@ -438,7 +505,7 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
                         np.asarray(wS, np.float64),
                         np.asarray(wI, np.float64),
                         nsmall, nice, nblk, nblkpad, nv, ts,
-                        None, None, None)
+                        None, None, None, sec_blocks=sec_blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -560,18 +627,22 @@ def _contract_kernel(B, fwin_ref, tiles_ref, out_ref):
             preferred_element_type=jnp.float32, precision=HIGH)
 
 
-def _contract_true_kernel(B, nstep, scale, p2b_ref, fwin_ref, tiles_ref,
-                          winv_ref, out_ref):
+def _contract_true_kernel(B, sec_blocks, scale, p2b_ref, si_ref, fl_ref,
+                          fwin_ref, tiles_ref, winv_ref, out_ref):
     """B2': contraction + in-kernel segment-sum into TRUE ice blocks.
 
-    The true-block output (nblkpad, NV, 128) stays VMEM-resident across the
-    grid; each pseudo-block's (NV, 128) contribution lands via a dynamic
-    leading-index RMW (pseudo order is block-major, so revisits are
-    adjacent). Replaces the XLA segment_sum + out_ps HBM round trip.
+    The accumulator is ONE SECTION of the true-block output at a time
+    ((sec_blocks, NV, 128), VMEM-resident; the out BlockSpec rides the
+    scalar-prefetched section index): each pseudo-block's (NV, 128)
+    contribution lands via a dynamic leading-index RMW; the section
+    zero-inits on entry (flag bit0) and weight-scales on exit (bit1).
+    Replaces the XLA segment_sum + out_ps HBM round trip, and keeps
+    working past the ~2k blocks where one global accumulator would spill
+    VMEM (Antarctica 5 km: 38 MB).
     """
     i = pl.program_id(0)
 
-    @pl.when(i == 0)
+    @pl.when((fl_ref[i] & 1) == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -579,11 +650,11 @@ def _contract_true_kernel(B, nstep, scale, p2b_ref, fwin_ref, tiles_ref,
         val = jax.lax.dot_general(
             fwin_ref[b], tiles_ref[b], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH)
-        j = p2b_ref[i * B + b]
+        j = p2b_ref[i * B + b] - si_ref[i] * sec_blocks
         out_ref[pl.ds(j, 1), :, :] += val[None]
 
     if scale:
-        @pl.when(i == nstep - 1)
+        @pl.when((fl_ref[i] & 2) == 2)
         def _():
             out_ref[:] = out_ref[:] * winv_ref[:]
 
@@ -693,23 +764,25 @@ def _mk_contract(pm: PallasBDT, interpret: bool):
 def _mk_contract_true(pm: PallasBDT, scale: bool, interpret: bool):
     T8, NV, B = pm.ts * TILE_R, pm.NV, BLK_STEP
     nstep = pm.npspad // B
+    SEC = pm.sec_blocks
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(nstep,),
         in_specs=[
-            pl.BlockSpec((B, T8, NV), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((B, T8, NV), lambda i, p2b, si, fl: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, T8, TILE_C), lambda i, b: (i, 0, 0),
+            pl.BlockSpec((B, T8, TILE_C), lambda i, p2b, si, fl: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pm.nblkpad, 1, TILE_C), lambda i, b: (0, 0, 0),
+            pl.BlockSpec((SEC, 1, TILE_C),
+                         lambda i, p2b, si, fl: (si[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((pm.nblkpad, NV, TILE_C),
-                               lambda i, b: (0, 0, 0),
+        out_specs=pl.BlockSpec((SEC, NV, TILE_C),
+                               lambda i, p2b, si, fl: (si[i], 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_contract_true_kernel, B, nstep, scale),
+        functools.partial(_contract_true_kernel, B, SEC, scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pm.nblkpad, NV, TILE_C),
                                        jnp.float32),
@@ -784,7 +857,8 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
         fwin = fwin[:pm.npspad * pm.ts]             # drop padded chunks
         fwin3 = fwin.reshape(pm.npspad, pm.ts * TILE_R, pm.NV)  # free
         out = _mk_contract_true(pm, in_scale, interpret)(
-            pm.pseudo2blk, fwin3, pm.tiles2, pm.winvI_blk)
+            pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
+            fwin3, pm.tiles2, pm.winvI_blk)
     if in_scale:
         return out
     if pm.ov_s is not None:

@@ -120,7 +120,7 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
                                  ) -> ShardedPallasBDT:
     """Partition the ice axis into per-device column ranges and build one
     padded PallasBDT per device."""
-    from icebin_tpu.ops.pallas_bdt import TS
+    from icebin_tpu.ops.pallas_bdt import SEC_BLOCKS, TS
     ts = ts or TS
     n = int(mesh.devices.size)
     if small_axis == "rows":
@@ -146,8 +146,11 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
         sel = (i >= c0) & (i < c1)
         Msub = WeightedMatrix(rows=s[sel], cols=i[sel] - c0, vals=v[sel],
                               shape=(nsmall, c1 - c0))
-        shards.append(pallas_from_weighted(Msub, small_axis="rows", nv=nv,
-                                           ts=ts))
+        # COMMON section scheme across shards (equal bpd-block ranges), so
+        # the stacked sec_idx/sec_flags agree with the template statics
+        shards.append(pallas_from_weighted(
+            Msub, small_axis="rows", nv=nv, ts=ts,
+            sec_blocks=min(SEC_BLOCKS, -(-bpd // 8) * 8)))
 
     # pad every shard to common statics
     from icebin_tpu.ops.pallas_bdt import CH_GROUP
@@ -172,12 +175,31 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     winvS_e3 = np.repeat(wvs.reshape(NWpad, TILE_R), nv,
                          axis=1).astype(np.float32)
 
+    from icebin_tpu.ops.pallas_bdt import BLK_STEP
     stacks = {name: [] for name in PallasBDT._ARRAYS}
     for p in shards:
         stacks["tiles2"].append(_pad_to(p.tiles2, npspad))
         p2b = _pad_to(p.pseudo2blk, npspad)
         p2b[p.npspad:] = nblkpad - 1
         stacks["pseudo2blk"].append(p2b)
+        # per-B2'-step section metadata: padded trash steps belong to the
+        # COMMON last section (where their p2b points).  If that is also
+        # the shard's own last section, its zero-init/scale flags already
+        # ran -- trash steps add zero tiles to the scaled section (no-op),
+        # so they carry no flags; otherwise they open+close the pad
+        # section themselves (zeros in, zeros scaled out).
+        nstep = npspad // BLK_STEP
+        padsec = (nblkpad - 1) // p.sec_blocks
+        si = _pad_to(np.asarray(p.sec_idx), nstep).astype(np.int32)
+        fl = _pad_to(np.asarray(p.sec_flags), nstep).astype(np.int32)
+        n0 = p.npspad // BLK_STEP
+        if nstep > n0:
+            si[n0:] = padsec
+            if padsec != int(si[n0 - 1]):
+                fl[n0] |= 1
+                fl[nstep - 1] |= 2
+        stacks["sec_idx"].append(si)
+        stacks["sec_flags"].append(fl)
         w_off = np.full((nchunkpad * TILE_R, C2), -1, np.int32)
         w_off[:p.nchunk * TILE_R] = np.asarray(p.w_off)[:p.nchunk * TILE_R]
         stacks["w_off"].append(w_off)

@@ -97,3 +97,32 @@ def test_pallas_bdt_single_vector_and_layouts():
     e3 = pm.small_to_e3(jnp.asarray(e, jnp.float32))
     asm = np.asarray(pm.e3_to_small(e3))
     assert np.allclose(asm, e, atol=1e-6)
+
+
+def test_multi_section_accumulator():
+    """A matrix spanning > SEC_BLOCKS ice blocks packs into multiple B2'
+    accumulator sections (the Antarctica-5km VMEM fix); both directions
+    must still match the oracle exactly across section boundaries."""
+    from icebin_tpu.ops.pallas_bdt import SEC_BLOCKS, pallas_from_weighted
+    rng = np.random.default_rng(5)
+    n_i = (SEC_BLOCKS + 300) * 128          # forces 2 sections
+    n_s = 3000
+    cols = rng.integers(0, n_i, 40000)
+    rows = np.clip((cols * n_s // n_i) + rng.integers(-25, 25, cols.size),
+                   0, n_s - 1)
+    vals = rng.uniform(0.1, 2.0, cols.size)
+    key = rows.astype(np.int64) * n_i + cols
+    _, idx = np.unique(key, return_index=True)
+    M = WeightedMatrix(rows=rows[idx], cols=cols[idx], vals=vals[idx],
+                       shape=(n_s, n_i))
+    pm = pallas_from_weighted(M, small_axis="rows", nv=8)
+    assert pm.nblkpad > pm.sec_blocks          # really multi-section
+    assert int(np.asarray(pm.sec_idx).max()) >= 1
+    f = rng.uniform(0.5, 1.5, (8, n_i))
+    got = np.asarray(apply_small(pm, jnp.asarray(f, jnp.float32)))
+    ref = oracle_small(M, f)
+    assert np.max(np.abs(got - ref) / (np.abs(ref) + 1e-9)) < 2e-5
+    g = rng.uniform(0.5, 1.5, (8, n_s))
+    gotI = np.asarray(apply_ice(pm, jnp.asarray(g, jnp.float32)))
+    refI = oracle_ice(M, g)
+    assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 2e-5

@@ -68,7 +68,8 @@ def main():
            pm, carry=e3, bytes_=pbytes)
     timeit("B2' contract_true",
            lambda p, x: pb._mk_contract_true(p, True, False)(
-               p.pseudo2blk, x, p.tiles2, p.winvI_blk),
+               p.pseudo2blk, p.sec_idx, p.sec_flags, x, p.tiles2,
+               p.winvI_blk),
            pm, carry=fwin3, bytes_=tb + pbytes)
     timeit("full dest-small", lambda p, f: pb.apply_small_blocked(p, f),
            pm, carry=fb, bytes_=pm.bytes_small)
