@@ -77,10 +77,17 @@ TS = 4              # windows per pseudo-block (the padding granularity)
 PS_CHUNK = 128      # pseudo-blocks per scatter/gather chunk (C2=PS_CHUNK*TS)
 BLK_STEP = 64       # pseudo-blocks per streaming-kernel grid step (swept
                     # on-chip: 64 -> 617 GB/s, 128 -> 566, 256 -> 600)
+BLK_STEP_BIG = 128  # ...at >= BIG_NPS pseudo-blocks (Antarctica-class),
+                    # where bigger DMAs amortize per-step overheads
+BIG_NPS = 8192
 CH_GROUP = 16       # chunks per scatter/gather grid step (in-kernel loop)
 SEC_BLOCKS = 1024   # true-ice blocks per B2' accumulator section (4 MB of
                     # VMEM at NV=8; one global accumulator stops fitting
                     # VMEM past ~2k blocks -- see _finish_pack)
+
+
+def _blk_step(npspad: int) -> int:
+    return BLK_STEP_BIG if npspad >= BIG_NPS else BLK_STEP
 
 
 def _interpret_default() -> bool:
@@ -376,9 +383,10 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     r_new[pos] = realp[ridx]
     tiles_ps, w_ps, realp, pseudo2blk = t_new, w_new, r_new, p2_new
 
-    # -- per-B2'-step section metadata (nstep = npspad // BLK_STEP)
-    nstep_b2 = npspad // BLK_STEP
-    step_sec = (pseudo2blk[::BLK_STEP] // sec_blocks).astype(np.int32)
+    # -- per-B2'-step section metadata (nstep = npspad // blk_step)
+    bstep = _blk_step(npspad)
+    nstep_b2 = npspad // bstep
+    step_sec = (pseudo2blk[::bstep] // sec_blocks).astype(np.int32)
     sec_flags = np.zeros(nstep_b2, np.int32)
     firsts = np.ones(nstep_b2, bool)
     firsts[1:] = step_sec[1:] != step_sec[:-1]
@@ -660,7 +668,7 @@ def _contract_true_kernel(B, sec_blocks, scale, p2b_ref, si_ref, fl_ref,
 
 
 def _mk_prods(pm: PallasBDT, interpret: bool):
-    T8, NV, B = pm.ts * TILE_R, pm.NV, BLK_STEP
+    T8, NV, B = pm.ts * TILE_R, pm.NV, _blk_step(pm.npspad)
     nstep = pm.npspad // B
     return pl.pallas_call(
         functools.partial(_prods_kernel, B),
@@ -739,7 +747,7 @@ def _mk_gather(pm: PallasBDT, interpret: bool):
 
 
 def _mk_contract(pm: PallasBDT, interpret: bool):
-    T8, NV, B = pm.ts * TILE_R, pm.NV, BLK_STEP
+    T8, NV, B = pm.ts * TILE_R, pm.NV, _blk_step(pm.npspad)
     nstep = pm.npspad // B
     return pl.pallas_call(
         functools.partial(_contract_kernel, B),
@@ -762,7 +770,7 @@ def _mk_contract(pm: PallasBDT, interpret: bool):
 
 
 def _mk_contract_true(pm: PallasBDT, scale: bool, interpret: bool):
-    T8, NV, B = pm.ts * TILE_R, pm.NV, BLK_STEP
+    T8, NV, B = pm.ts * TILE_R, pm.NV, _blk_step(pm.npspad)
     nstep = pm.npspad // B
     SEC = pm.sec_blocks
     grid_spec = pltpu.PrefetchScalarGridSpec(

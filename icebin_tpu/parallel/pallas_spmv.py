@@ -175,29 +175,29 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     winvS_e3 = np.repeat(wvs.reshape(NWpad, TILE_R), nv,
                          axis=1).astype(np.float32)
 
-    from icebin_tpu.ops.pallas_bdt import BLK_STEP
+    from icebin_tpu.ops.pallas_bdt import _blk_step
     stacks = {name: [] for name in PallasBDT._ARRAYS}
     for p in shards:
         stacks["tiles2"].append(_pad_to(p.tiles2, npspad))
         p2b = _pad_to(p.pseudo2blk, npspad)
         p2b[p.npspad:] = nblkpad - 1
         stacks["pseudo2blk"].append(p2b)
-        # per-B2'-step section metadata: padded trash steps belong to the
-        # COMMON last section (where their p2b points).  If that is also
-        # the shard's own last section, its zero-init/scale flags already
-        # ran -- trash steps add zero tiles to the scaled section (no-op),
-        # so they carry no flags; otherwise they open+close the pad
-        # section themselves (zeros in, zeros scaled out).
-        nstep = npspad // BLK_STEP
-        padsec = (nblkpad - 1) // p.sec_blocks
-        si = _pad_to(np.asarray(p.sec_idx), nstep).astype(np.int32)
-        fl = _pad_to(np.asarray(p.sec_flags), nstep).astype(np.int32)
-        n0 = p.npspad // BLK_STEP
-        if nstep > n0:
-            si[n0:] = padsec
-            if padsec != int(si[n0 - 1]):
-                fl[n0] |= 1
-                fl[nstep - 1] |= 2
+        # per-B2'-step section metadata, REBUILT at the COMMON step size
+        # from the padded p2b (a shard packed at a different blk_step, or
+        # padded into extra trash sections, needs fresh step boundaries;
+        # section starts are PS_CHUNK-aligned so common steps never
+        # straddle).  Semantics match the pack: zero-init on first step of
+        # each section, scale on its last (trash steps add exact zeros).
+        bstep = _blk_step(npspad)
+        si = (p2b[::bstep] // p.sec_blocks).astype(np.int32)
+        fl = np.zeros(len(si), np.int32)
+        edge = si[1:] != si[:-1]
+        firsts = np.ones(len(si), bool)
+        firsts[1:] = edge
+        lasts = np.ones(len(si), bool)
+        lasts[:-1] = edge
+        fl[firsts] |= 1
+        fl[lasts] |= 2
         stacks["sec_idx"].append(si)
         stacks["sec_flags"].append(fl)
         w_off = np.full((nchunkpad * TILE_R, C2), -1, np.int32)
