@@ -221,8 +221,25 @@ def bench_coupler():
     for _ in range(n):
         cp.couple({"greenland": fE})
     dt = time.perf_counter() - t0
+
+    # fused transient windows (ONE device dispatch per regen window): the
+    # per-step relay sync above disappears, leaving device-bound steps/s
+    K1, K2 = 8, 104
+    f1, f2 = jnp.stack([fE] * K1), jnp.stack([fE] * K2)
+    sc.couple_window(f1)                        # compile both shapes
+    sc.couple_window(f2)
+    t1s, t2s = [], []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        sc.couple_window(f1)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sc.couple_window(f2)
+        t2s.append(time.perf_counter() - t0)
+    fused_per_step = max((min(t2s) - min(t1s)) / (K2 - K1), 1e-9)
     return {"coupler_steps_per_s": round(n / dt, 3),
             "coupler_step_ms": round(1e3 * dt / n, 1),
+            "coupler_fused_steps_per_s": round(1.0 / fused_per_step, 1),
             "regen_seconds_5km": round(regen_s, 3)}
 
 

@@ -389,8 +389,11 @@ class IceSheetCoupler:
             raise TypeError("couple_window needs a jittable engine; use "
                             "stepwise couple() for this configuration")
         K = int(fE_seq.shape[0])
-        key = (self.ice_step, K)
-        if getattr(self, "_window_jit_key", None) != key:
+        # key on the ice model only: jax.jit itself specializes per window
+        # length, so alternating K values must NOT rebuild the wrapper
+        # (a rebuilt jit forgets its compile cache)
+        key = self.ice_step
+        if getattr(self, "_window_jit_key", None) is not key:
             core = self._couple_core
 
             @jax.jit
