@@ -397,6 +397,33 @@ class ShardedPallasView:
         return out[0] if single else out
 
 
+class ArgShardedView(ShardedPallasView):
+    """A ShardedPallasView whose matrix arrays ride as TRACED ARGUMENTS
+    instead of closure constants -- the building block for jitting a whole
+    coupling window over the mesh (``coupler.sharded.MeshIceSheetCoupler.
+    couple_window``): regeneration swaps array VALUES under an unchanged
+    trace, and the jitted window never bakes stale weights.
+
+    ``spm_lite`` carries only statics/blk_ranges (helpers need no arrays);
+    ``arrs`` are the stacked matrix arrays in ``arr_names`` order.
+    """
+
+    def __init__(self, mesh, spm_lite: ShardedPallasBDT, arr_names, arrs,
+                 transposed: bool, nice: int, wS, wI,
+                 interpret: Optional[bool] = None):
+        self.mesh = mesh
+        self.spm = spm_lite
+        self.transposed = transposed
+        self.nice = nice
+        self._wS64 = wS
+        self._wI64 = wI
+        statics = _statics_of(spm_lite.template)
+        fs = _core_apply_small(mesh, statics, arr_names, interpret)
+        fi = _core_apply_ice(mesh, statics, arr_names, interpret)
+        self._fn_small = lambda fb: fs(fb, *arrs)
+        self._fn_ice = lambda e3: fi(e3, *arrs)
+
+
 def sharded_view_pair(mesh, M: WeightedMatrix, small_axis: str = "rows",
                       nv: int = 8, ts: Optional[int] = None,
                       interpret: Optional[bool] = None):

@@ -174,3 +174,30 @@ def test_mesh_ave_eva_runtime():
     m_dst = np.sum(np.where(np.isfinite(fA), fA, 0.0)
                    * np.asarray(ave.wM), axis=1)
     np.testing.assert_allclose(m_dst, m_src, rtol=1e-10)
+
+
+def test_mesh_fused_transient_matches_stepwise():
+    """Fused windows over the MESH (one jitted scan per regen window, with
+    the sharded Pallas applies + halo-ring SIA inlined) must reproduce the
+    stepwise mesh coupler's ledger and final state."""
+    import numpy as np
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=4)
+    cp1 = GCMCoupler(make_gr(), cfg, mesh=make_mesh(8))
+    cp2 = GCMCoupler(make_gr(), cfg, mesh=make_mesh(8))
+    f = lambda t, s: forcing(t, cp1.gr.nE)
+    cp1.run_transient(f, 9)
+    cp2.run_transient(f, 9, fused=True)
+    r1, r2 = cp1.ledger.to_rows(), cp2.ledger.to_rows()
+    assert len(r1) == len(r2) == 9
+    for a, b in zip(r1, r2):
+        for key in a:
+            na, nb = a[key], b[key]
+            if na == 0.0:
+                assert nb == 0.0, key
+            else:
+                assert abs(na - nb) / abs(na) < 1e-9, (key, na, nb)
+        m_in, m_del = b["toy.mass_in_E"], b["toy.mass_delivered_I"]
+        assert abs(m_in - m_del) / abs(m_in) < 1e-10
+    np.testing.assert_allclose(np.asarray(cp2.sheets["toy"].state.H),
+                               np.asarray(cp1.sheets["toy"].state.H),
+                               rtol=1e-6, atol=1e-9)
