@@ -8,7 +8,7 @@ under synthetic or file-based forcing, dump per-step fields, checkpoint,
 and report the conservation ledger.
 
     python -m icebin_tpu.cli.run run.json [--forcing synthetic|zero]
-        [--ice sia|dismal] [--resume ck.npz]
+        [--ice sia|dismal] [--resume ck.npz] [--fused] [--mesh N]
 """
 from __future__ import annotations
 
@@ -27,6 +27,13 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", help="checkpoint to resume from")
     ap.add_argument("--smb", type=float, default=1e-5,
                     help="synthetic SMB magnitude [kg m-2 s-1]")
+    ap.add_argument("--fused", action="store_true",
+                    help="scan each regeneration window in ONE device "
+                         "dispatch (checkpoint cadence then follows regen "
+                         "windows; requires a jittable ice model)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="decompose the ice domain over an N-device mesh "
+                         "(sharded Pallas applies + halo-ring ice step)")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,10 +53,14 @@ def main(argv=None) -> int:
         gr.add_sheet(s.name, read_grid(s.grid_file), exchange=xg,
                      subdiv=s.subdiv, engine=s.engine)
     writer = (CouplerWriter(cfg.dump_dir) if cfg.dump_dir else None)
+    mesh = None
+    if args.mesh:
+        from icebin_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
     cp = GCMCoupler(gr, CouplerConfig(
         dt=cfg.dt_seconds, regen_every=cfg.regen_every,
         min_thickness=cfg.min_thickness, params=cfg.regrid_params()),
-        writer=writer)
+        writer=writer, mesh=mesh)
     if args.ice == "dismal":
         from icebin_tpu.models.dismal import DismalModel
         for sc in cp.sheets.values():
@@ -68,11 +79,21 @@ def main(argv=None) -> int:
             f[3] = -10.0
         return jnp.asarray(f, jnp.float32)
 
-    for k in range(cfg.n_steps):
-        cp.couple({name: forcing(cp.time, name) for name in cp.sheets})
-        if cfg.checkpoint_every and (k + 1) % cfg.checkpoint_every == 0:
-            save_checkpoint(f"checkpoint_{len(cp.ledger.to_rows()):06d}.npz",
-                            cp)
+    if args.fused:
+        done = 0
+        while done < cfg.n_steps:
+            k = min(cfg.checkpoint_every or cfg.n_steps, cfg.n_steps - done)
+            cp.run_transient(forcing, k, fused=True)
+            done += k
+            if cfg.checkpoint_every:
+                save_checkpoint(
+                    f"checkpoint_{len(cp.ledger.to_rows()):06d}.npz", cp)
+    else:
+        for k in range(cfg.n_steps):
+            cp.couple({name: forcing(cp.time, name) for name in cp.sheets})
+            if cfg.checkpoint_every and (k + 1) % cfg.checkpoint_every == 0:
+                save_checkpoint(
+                    f"checkpoint_{len(cp.ledger.to_rows()):06d}.npz", cp)
     rows = cp.ledger.to_rows()
     for name in cp.sheets:
         worst = max(abs(r[f"{name}.mass_in_E"] - r[f"{name}.mass_delivered_I"])

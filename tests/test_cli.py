@@ -158,3 +158,37 @@ def test_run_cli_end_to_end(tmp_path, capsys, monkeypatch):
     assert (tmp_path / "checkpoint_000002.npz").exists()
     # dismal variant
     assert run_main([cfgp, "--ice", "dismal"]) == 0
+
+
+def test_run_cli_fused_and_mesh(tmp_path, capsys, monkeypatch):
+    """--fused scans regen windows in one dispatch; --mesh N runs the
+    mesh-decomposed production coupler.  Conservation report unchanged."""
+    from icebin_tpu.cli.run import main as run_main
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+
+    scale = 25e3
+    specA = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, 7),
+                           latb=np.linspace(30.0, 80.0, 7))
+    specI = GridSpecXY(xb=np.linspace(0.0, 32.0 * scale, 33),
+                       yb=np.linspace(40.0 * scale, 72.0 * scale, 33),
+                       projection=PlateCarree(scale=scale))
+    pa, pi = str(tmp_path / "a.nc"), str(tmp_path / "i.nc")
+    write_grid(pa, specA)
+    write_grid(pi, specI)
+    cfgp = str(tmp_path / "run.json")
+    RunConfig(gridA_file=pa, hcdefs=[0.0, 800.0, 2500.0],
+              sheets=[SheetConfig(name="s", grid_file=pi, subdiv=1)],
+              n_steps=4, checkpoint_every=2).to_json(cfgp)
+    monkeypatch.chdir(tmp_path)
+    assert run_main([cfgp, "--fused"]) == 0
+    out = capsys.readouterr().out
+    worst = float(out.strip().rsplit(" ", 1)[-1])
+    assert worst < 1e-10
+    assert (tmp_path / "checkpoint_000002.npz").exists()
+    assert (tmp_path / "checkpoint_000004.npz").exists()
+    # mesh-decomposed production coupler (+fused window over the mesh)
+    assert run_main([cfgp, "--mesh", "8", "--fused"]) == 0
+    out = capsys.readouterr().out
+    worst = float(out.strip().rsplit(" ", 1)[-1])
+    assert worst < 1e-10
