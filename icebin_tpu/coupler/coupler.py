@@ -149,18 +149,35 @@ class IceSheetCoupler:
         couplers override this hook (``coupler.sharded``).
         """
         engine = self._engine()
+        # Transpose-sharing is exact only UNSMOOTHED: with sigma the
+        # factory composes EvI_u @ S (smooth the ice field first) whose
+        # transpose is S^T-smoothed -- NOT the canonical IvE = S @ IvE_u
+        # (S is asymmetric).  Smoothed configs build each direction from
+        # its own canonical matrix.
+        share = self.cfg.params.sigma is None
         for name in ("EvI", "AvI"):
             M = self.rm.matrix(name, self.cfg.params)
+            rev_name = "Iv" + name[0]
             if engine == "pallas":
                 fwd, rev = pallas_view_pair(M, small_axis="rows")
                 self._mats[name] = fwd
-                self._mats["Iv" + name[0]] = rev
+                if share:
+                    self._mats[rev_name] = rev
+                else:
+                    Mr = self.rm.matrix(rev_name, self.cfg.params)
+                    self._mats[rev_name] = pallas_view_pair(
+                        Mr, small_axis="cols")[0]
             else:
                 bm = bdt_from_weighted(M, small_axis="rows",
                                        dtype=self.cfg.matrix_dtype)
                 self._mats[name] = bm
-                self._mats["Iv" + name[0]] = _dc.replace(
-                    bm, transposed=not bm.transposed)
+                if share:
+                    self._mats[rev_name] = _dc.replace(
+                        bm, transposed=not bm.transposed)
+                else:
+                    self._mats[rev_name] = bdt_from_weighted(
+                        self.rm.matrix(rev_name, self.cfg.params),
+                        small_axis="cols", dtype=self.cfg.matrix_dtype)
 
     def _engine(self) -> str:
         engine = self.cfg.engine
@@ -175,7 +192,10 @@ class IceSheetCoupler:
         reference exposes all six through the runtime,
         ``RegridMatrices.cpp`` [U])."""
         if name not in self._mats and name in ("AvE", "EvA"):
-            M = self.rm.matrix("AvE", self.cfg.params)
+            # sigma smoothing is an ICE-side composition; AvE has no ice
+            # side, so strip it (the factory rejects it otherwise)
+            M = self.rm.matrix("AvE", _dc.replace(self.cfg.params,
+                                                  sigma=None))
             if self._engine() == "pallas":
                 fwd, rev = pallas_view_pair(M, small_axis="rows")
                 self._mats["AvE"], self._mats["EvA"] = fwd, rev
@@ -207,12 +227,9 @@ class IceSheetCoupler:
 
     @staticmethod
     def _ec_weights(rm: RegridMatrices) -> np.ndarray:
-        """(nE,) f64 EC measure: plane overlap area per E cell (the E1vE0
-        measure -- no correctA, matching ``e1ve0_matrix`` entries)."""
-        w = np.zeros(rm.nE)
-        np.add.at(w, rm.iE0, rm.o * rm.wE0)
-        np.add.at(w, rm.iE1, rm.o * rm.wE1)
-        return w
+        """(nE,) f64 EC measure of the E1vE0 remap (no correctA, matching
+        ``e1ve0_matrix`` entries) -- the factory's shared measure."""
+        return rm.ec_weights()
 
     def held_mass(self) -> float:
         """f64 total of held state in the CURRENT EC measure."""
@@ -332,6 +349,12 @@ class IceSheetCoupler:
                    or getattr(self.ice_step, "jittable", False))
         return ok_mats and ok_step
 
+    def _window_fusible(self) -> bool:
+        """Can ``couple_window`` run for this sheet?  Checked UP FRONT by
+        the fused transient driver, before any sheet advances."""
+        return self._fusible((self.mat("IvE"), self.mat("EvI"),
+                              self.mat("AvI")))
+
     def couple(self, t: float, fE_in: jnp.ndarray, ledger: Ledger):
         """fE_in: (n_contract_in, nE) GCM fields on the E grid, GCM units.
         Returns dict with E/A-grid ice outputs and diagnostics."""
@@ -357,16 +380,23 @@ class IceSheetCoupler:
 
         # 4. topo evolution: regenerate matrices + E1vE0 remap cadence.
         self.steps_since_regen += 1
+        remap = self._regen_if_due(ledger)
+        return {"fI": fI, "fE_out": fE_out, "fA_out": fA_out,
+                "E1vE0": remap,
+                "fhc": self.rm.fhc(), "elevE": self.rm.elevE()}
+
+    def _regen_if_due(self, ledger: Ledger):
+        """Regenerate matrices + E1vE0-remap held state when the cadence is
+        due (ONE definition serving the stepwise and fused loops); returns
+        the E1vE0 remap or None."""
         remap = None
-        if self.steps_since_regen >= cfg.regen_every:
+        if self.steps_since_regen >= self.cfg.regen_every:
             old_rm = self.regen_matrices()
             if old_rm is not None:
                 remap = e1ve0_matrix(old_rm, self.rm)
                 if self.held_E is not None:
                     self._remap_held(remap, old_rm, ledger)
-        return {"fI": fI, "fE_out": fE_out, "fA_out": fA_out,
-                "E1vE0": remap,
-                "fhc": self.rm.fhc(), "elevE": self.rm.elevE()}
+        return remap
 
     def couple_window(self, fE_seq: jnp.ndarray):
         """K coupling steps as ONE jitted ``lax.scan`` dispatch.
@@ -398,16 +428,14 @@ class IceSheetCoupler:
 
             @jax.jit
             def window(ive, evi, avi, state0, fE_seq):
-                nI = ive.wM.shape[0]
-                nE_out = evi.wM.shape[0]
-                nA_out = avi.wM.shape[0]
-                n_in = fE_seq.shape[1]
-                n_out = len(self.contract_out)
-                dt = fE_seq.dtype
-                init = (state0,
-                        jnp.zeros((n_in, nI), dt),
-                        jnp.zeros((n_out, nE_out), dt),
-                        jnp.zeros((n_out, nA_out), dt))
+                # carry shapes/dtypes from the core itself: repair promotes
+                # fE_out/fA_out to f64 under x64 even for f32 forcing, so
+                # hand-built zeros would break the scan's carry contract
+                sh = jax.eval_shape(lambda st, f: core(ive, evi, avi,
+                                                       st, f)[:3],
+                                    state0, fE_seq[0])
+                init = (state0,) + tuple(jnp.zeros(s.shape, s.dtype)
+                                         for s in sh)
 
                 def body(carry, fE):
                     st = carry[0]
@@ -499,10 +527,13 @@ class GCMCoupler:
                       for name in self.sheets}
                 out = self.couple(fE)
             return out
-        try:
-            return self._run_transient_fused(forcing_fn, n_steps)
-        except TypeError:
-            return self.run_transient(forcing_fn, n_steps, fused=False)
+        # fusibility is checked UP FRONT for every sheet (a mid-run
+        # TypeError after some sheets already advanced through
+        # couple_window would double-step them in the stepwise fallback)
+        for sc in self.sheets.values():
+            if not sc._window_fusible():
+                return self.run_transient(forcing_fn, n_steps, fused=False)
+        return self._run_transient_fused(forcing_fn, n_steps)
 
     def _run_transient_fused(self, forcing_fn, n_steps: int):
         cfg = self.cfg
@@ -513,13 +544,15 @@ class GCMCoupler:
                     *(sc.cfg.regen_every - sc.steps_since_regen
                       for sc in self.sheets.values()))
             k = max(k, 1)
-            stats, results = {}, {}
+            t0 = self.time
+            stats, results, fE_last = {}, {}, {}
             for name, sc in self.sheets.items():
-                fE_seq = jnp.stack([forcing_fn(self.time + i * cfg.dt, name)
+                fE_seq = jnp.stack([forcing_fn(t0 + i * cfg.dt, name)
                                     for i in range(k)])
+                fE_last[name] = fE_seq[-1]
                 stats[name], results[name] = sc.couple_window(fE_seq)
             for i in range(k):
-                self.ledger.open_step(self.time + i * cfg.dt)
+                self.ledger.open_step(t0 + i * cfg.dt)
                 for name in self.sheets:
                     s = stats[name][i]
                     self.ledger.post(f"{name}.mass_in_E", s[0])
@@ -529,18 +562,14 @@ class GCMCoupler:
             self.time += k * cfg.dt
             done += k
             for name, sc in self.sheets.items():
-                if sc.steps_since_regen >= sc.cfg.regen_every:
-                    old_rm = sc.regen_matrices()
-                    if old_rm is not None:
-                        remap = e1ve0_matrix(old_rm, sc.rm)
-                        if sc.held_E is not None:
-                            sc._remap_held(remap, old_rm, self.ledger)
+                results[name]["E1vE0"] = sc._regen_if_due(self.ledger)
                 results[name]["fhc"] = sc.rm.fhc()
                 results[name]["elevE"] = sc.rm.elevE()
             if self.writer is not None:
                 import numpy as _np
                 fields = {}
                 for name, r in results.items():
+                    fields[f"{name}.fE_in"] = _np.asarray(fE_last[name])
                     fields[f"{name}.fI"] = _np.asarray(r["fI"])
                     fields[f"{name}.fE_out"] = _np.asarray(r["fE_out"])
                     fields[f"{name}.fA_out"] = _np.asarray(r["fA_out"])

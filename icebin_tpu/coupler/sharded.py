@@ -93,12 +93,24 @@ class MeshIceSheetCoupler(IceSheetCoupler):
         """EvI/IvE and AvI/IvA as sharded Pallas view pairs: one sharded
         tile set per pair, compiled apply cores cached on the padded
         geometry so regeneration usually costs no recompilation."""
+        share = self.cfg.params.sigma is None   # see IceSheetCoupler note
         for name in ("EvI", "AvI"):
             M = self.rm.matrix(name, self.cfg.params)
             fwd, rev = sharded_view_pair(self.mesh, M, small_axis="rows",
                                          nv=self.nv, interpret=self.interpret)
             self._mats[name] = fwd
-            self._mats["Iv" + name[0]] = rev
+            if share:
+                self._mats["Iv" + name[0]] = rev
+            else:
+                Mr = self.rm.matrix("Iv" + name[0], self.cfg.params)
+                self._mats["Iv" + name[0]] = sharded_view_pair(
+                    self.mesh, Mr, small_axis="cols", nv=self.nv,
+                    interpret=self.interpret)[0]
+
+    def _window_fusible(self) -> bool:
+        mats = (self.mat("IvE"), self.mat("EvI"), self.mat("AvI"))
+        return (all(hasattr(m, "spm") for m in mats)
+                and getattr(self.ice_step, "jittable", False))
 
     def couple_window(self, fE_seq):
         """Fused transient window over the MESH: one jitted lax.scan per
@@ -118,43 +130,40 @@ class MeshIceSheetCoupler(IceSheetCoupler):
                                                      ShardedPallasBDT,
                                                      _statics_of)
 
-        evi = self.mat("EvI")
-        avi = self.mat("AvI")
-        spm_e, spm_a = evi.spm, avi.spm
-        names_e = tuple(n for n in PallasBDT._ARRAYS
-                        if spm_e.stacked[n] is not None)
-        names_a = tuple(n for n in PallasBDT._ARRAYS
-                        if spm_a.stacked[n] is not None)
-        key = (self.ice_step, _statics_of(spm_e.template), names_e,
-               _statics_of(spm_a.template), names_a)
+        mats = (self.mat("IvE"), self.mat("EvI"), self.mat("AvI"))
+        names_k = tuple(tuple(n for n in PallasBDT._ARRAYS
+                              if m.spm.stacked[n] is not None)
+                        for m in mats)
+        key = (self.ice_step,
+               tuple((_statics_of(m.spm.template), nk, m.transposed)
+                     for m, nk in zip(mats, names_k)))
         if getattr(self, "_mesh_window_key", None) != key:
             core = self._couple_core
             mesh, interp = self.mesh, self.interpret
-            nice = evi.nice
-            lite_e = ShardedPallasBDT(
-                stacked={}, template=spm_e.template,
-                n_shards=spm_e.n_shards, blk_ranges=spm_e.blk_ranges)
-            lite_a = ShardedPallasBDT(
-                stacked={}, template=spm_a.template,
-                n_shards=spm_a.n_shards, blk_ranges=spm_a.blk_ranges)
-            n_e, n_a = len(names_e), len(names_a)
+            nice = mats[0].nice
+            lites = tuple(ShardedPallasBDT(
+                stacked={}, template=m.spm.template,
+                n_shards=m.spm.n_shards, blk_ranges=m.spm.blk_ranges)
+                for m in mats)
+            transposed = tuple(m.transposed for m in mats)
+            counts = tuple(len(nk) for nk in names_k)
 
             @jax.jit
-            def window(state0, fE_seq, wS_e, wI_e, wS_a, wI_a, *arrs):
-                a_e, a_a = arrs[:n_e], arrs[n_e:]
-                evi_v = ArgShardedView(mesh, lite_e, names_e, a_e, False,
-                                       nice, wS_e, wI_e, interp)
-                ive_v = ArgShardedView(mesh, lite_e, names_e, a_e, True,
-                                       nice, wS_e, wI_e, interp)
-                avi_v = ArgShardedView(mesh, lite_a, names_a, a_a, False,
-                                       nice, wS_a, wI_a, interp)
-                n_in = fE_seq.shape[1]
-                n_out = len(self.contract_out)
-                dt = fE_seq.dtype
-                init = (state0,
-                        jnp.zeros((n_in, nice), dt),
-                        jnp.zeros((n_out, wS_e.shape[0]), dt),
-                        jnp.zeros((n_out, wS_a.shape[0]), dt))
+            def window(state0, fE_seq, ws, *arrs):
+                views = []
+                off = 0
+                for lite, nk, tp, cnt, (wS, wI) in zip(
+                        lites, names_k, transposed, counts, ws):
+                    views.append(ArgShardedView(
+                        mesh, lite, nk, arrs[off:off + cnt], tp, nice,
+                        wS, wI, interp))
+                    off += cnt
+                ive_v, evi_v, avi_v = views
+                sh = jax.eval_shape(lambda st, f: core(ive_v, evi_v, avi_v,
+                                                       st, f)[:3],
+                                    state0, fE_seq[0])
+                init = (state0,) + tuple(jnp.zeros(s.shape, s.dtype)
+                                         for s in sh)
 
                 def body(carry, fE):
                     st = carry[0]
@@ -167,12 +176,12 @@ class MeshIceSheetCoupler(IceSheetCoupler):
 
             self._mesh_window = window
             self._mesh_window_key = key
-        args = ([jnp.asarray(evi._wS64), jnp.asarray(evi._wI64),
-                 jnp.asarray(avi._wS64), jnp.asarray(avi._wI64)]
-                + [spm_e.stacked[n] for n in names_e]
-                + [spm_a.stacked[n] for n in names_a])
+        ws = tuple((jnp.asarray(m._wS64), jnp.asarray(m._wI64))
+                   for m in mats)
+        arrs = [m.spm.stacked[n] for m, nk in zip(mats, names_k)
+                for n in nk]
         (new_state, fI, fE_out, fA_out), stats = self._mesh_window(
-            self.state, fE_seq, *args)
+            self.state, fE_seq, ws, *arrs)
         self.state = new_state
         K = int(fE_seq.shape[0])
         self.steps_since_regen += K

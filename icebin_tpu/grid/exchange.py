@@ -216,10 +216,19 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
 
     areas = np.empty(len(pairA), dtype=np.float64)
     cents = np.empty((len(pairA), 2), dtype=np.float64)
-    # two-phase: DISPATCH every chunk first (device engines return async
-    # arrays; forcing a fetch per chunk costs one relay round trip each,
-    # which dominated large polar builds), then FETCH
+    # pipelined dispatch: run a few chunks AHEAD of the fetches (device
+    # engines return async arrays; forcing a fetch per chunk costs one
+    # relay round trip each, which dominated large polar builds), bounded
+    # so device buffers don't grow with the total pair count
+    DEPTH = 8
     pending = []
+
+    def drain(n):
+        while len(pending) > n:
+            s, e, a, ctr, c = pending.pop(0)
+            areas[s:e] = np.abs(np.asarray(a, dtype=np.float64))
+            cents[s:e] = np.asarray(ctr, dtype=np.float64) + c
+
     for s in range(0, len(pairA), chunk):
         e = min(s + chunk, len(pairA))
         subj = polysA[pairA[s:e]]
@@ -231,9 +240,8 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
         a, ctr = clip_fn(subj - c[:, None, :],
                          rect - np.concatenate([c, c], axis=1))
         pending.append((s, e, a, ctr, c))
-    for s, e, a, ctr, c in pending:
-        areas[s:e] = np.abs(np.asarray(a, dtype=np.float64))
-        cents[s:e] = np.asarray(ctr, dtype=np.float64) + c
+        drain(DEPTH)
+    drain(0)
 
     return assemble_exchange_grid(pairA, pairI, areas, cents, specA, specI,
                                   areasI, repair=repair,

@@ -126,7 +126,15 @@ def make_clip_engine(engine: str = "jax", dtype=None):
                 [subj, np.zeros((Bp - B,) + subj.shape[1:], subj.dtype)])
             rect = np.concatenate(
                 [rect, np.tile(np.array([[0.0, 0.0, 1.0, 1.0]]), (Bp - B, 1))])
-        a, c = kernel(jnp.asarray(subj, dtype), jnp.asarray(rect, dtype))
+        if engine == "pallas":
+            # Mosaic rejects x64 (i64 roll shifts); the kernel is all-f32
+            # regardless, so trace with x64 scoped off (the CLI and other
+            # f64-ledger callers run under a global enable_x64)
+            with jax.enable_x64(False):
+                a, c = kernel(jnp.asarray(subj, jnp.float32),
+                              jnp.asarray(rect, jnp.float32))
+        else:
+            a, c = kernel(jnp.asarray(subj, dtype), jnp.asarray(rect, dtype))
         # return ASYNC device slices -- the exchange builder dispatches all
         # chunks before fetching any (per-chunk np.asarray = one relay
         # round trip each, dominating large polar builds)

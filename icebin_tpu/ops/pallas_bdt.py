@@ -357,11 +357,11 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     ridx = ridx[order]
     sec_of = sec_of[order]
     cnt_sec = np.bincount(sec_of, minlength=nsec)
-    pad_sec = (-(-cnt_sec // PS_CHUNK) * PS_CHUNK)
-    pad_sec = np.maximum(pad_sec, 0)
-    npspad = max(int(pad_sec.sum()), PS_CHUNK)
-    if pad_sec.sum() == 0:
-        pad_sec[nsec - 1] = npspad
+    # EVERY section gets at least one chunk of (zero-tile) pseudo-blocks:
+    # the kernel zero-inits a section only on its first visited step, so
+    # an unvisited section would return uninitialized HBM in the output
+    pad_sec = np.maximum(-(-cnt_sec // PS_CHUNK) * PS_CHUNK, PS_CHUNK)
+    npspad = int(pad_sec.sum())
     dst_off = np.concatenate([[0], np.cumsum(pad_sec)[:-1]])
     pos = dst_off[sec_of] + (np.arange(len(ridx))
                              - np.concatenate([[0], np.cumsum(cnt_sec)[:-1]]

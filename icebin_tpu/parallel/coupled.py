@@ -70,6 +70,7 @@ def make_sharded_ice_step(mesh):
         H1 = _advance(cfg, state.H, state.bed, smb_flux, dt)
         return IceSheetState(H=H1, bed=state.bed, t=state.t + dt)
 
+    step_like.jittable = True    # pure shard_map: safe under an outer jit
     return step_like
 
 

@@ -212,12 +212,19 @@ class RegridMatrices:
 
     # -- diagnostics -------------------------------------------------------
 
-    def fhc(self) -> np.ndarray:
-        """(nhc, nA) fraction of each A cell's (projected) area in each EC --
-        the ModelE ``fhc`` field (SURVEY.md section 2 TOPO pipeline)."""
+    def ec_weights(self) -> np.ndarray:
+        """(nE,) f64 EC measure: plane overlap area per E cell (no
+        correctA) -- the measure fhc, elevE, and the coupler's E1vE0
+        held-state ledger all share."""
         w = np.zeros(self.nE)
         np.add.at(w, self.iE0, self.o * self.wE0)
         np.add.at(w, self.iE1, self.o * self.wE1)
+        return w
+
+    def fhc(self) -> np.ndarray:
+        """(nhc, nA) fraction of each A cell's (projected) area in each EC --
+        the ModelE ``fhc`` field (SURVEY.md section 2 TOPO pipeline)."""
+        w = self.ec_weights()
         wA = np.zeros(self.nA)
         np.add.at(wA, self.iA, self.o)
         with np.errstate(invalid="ignore", divide="ignore"):

@@ -305,3 +305,91 @@ def test_fused_transient_with_held_state_and_writer(tmp_path):
         m_prev = r["toy.held_mass"]
     import os
     assert os.listdir(tmp_path / "dumps")
+
+
+def test_fused_mixed_fusibility_no_double_step():
+    """Two sheets where one is NOT jittable (DISMAL): fused must fall back
+    BEFORE any sheet advances -- a mid-run fallback would double-step the
+    fusible sheet (code-review r2 finding)."""
+    from icebin_tpu.models.dismal import DismalModel
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+    scale = 25e3
+    specA = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, 7),
+                           latb=np.linspace(30.0, 80.0, 7))
+    def mk():
+        gr_kw = dict(hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3000.0])
+        from icebin_tpu.regrid.gcmregridder import GCMRegridder
+        gr = GCMRegridder(specA, **gr_kw)
+        for nm in ("a", "b"):
+            specI = GridSpecXY(xb=np.linspace(0.0, 40.0 * scale, 25),
+                               yb=np.linspace(30.0 * scale, 80.0 * scale, 25),
+                               projection=PlateCarree(scale=scale))
+            gr.add_sheet(nm, specI, subdiv=1)
+        cp = GCMCoupler(gr, CouplerConfig(dt=86400.0 * 30, regen_every=10,
+                                          matrix_dtype=jnp.float64))
+        cp.sheets["b"].ice_step = DismalModel().step    # not jittable
+        return cp
+    cp1, cp2 = mk(), mk()
+    f = lambda t, s: forcing(t, s, coupler=cp1)
+    cp1.run_transient(f, 4)
+    cp2.run_transient(f, 4, fused=True)     # must fall back entirely
+    assert len(cp2.ledger.to_rows()) == 4
+    t1 = float(cp1.sheets["a"].state.t)
+    t2 = float(cp2.sheets["a"].state.t)
+    assert t1 == t2                          # NOT double-stepped
+    np.testing.assert_allclose(np.asarray(cp2.sheets["a"].state.H),
+                               np.asarray(cp1.sheets["a"].state.H))
+
+
+def test_fused_actually_fuses_f32_forcing():
+    """x64 ledger + f32 forcing (the CLI's exact configuration) must run
+    the FUSED path, not silently fall back (carry-dtype review finding)."""
+    cp = make_coupler(regen_every=6)
+    sc = cp.sheets["toy"]
+    f32 = lambda t, s: jnp.asarray(forcing(t, s, coupler=cp), jnp.float32)
+    cp.run_transient(f32, 5, fused=True)
+    assert getattr(sc, "_window_jit", None) is not None   # fused path ran
+    rows = cp.ledger.to_rows()
+    assert len(rows) == 5
+    for r in rows:
+        rel = abs(r["toy.mass_in_E"] - r["toy.mass_delivered_I"]) \
+            / abs(r["toy.mass_in_E"])
+        assert rel < 1e-10
+    # result parity with stepwise: E1vE0 key present
+    res = cp.run_transient(f32, 1, fused=True)
+    assert "E1vE0" in res["toy"]
+
+
+def test_sigma_coupler_mats_canonical():
+    """With sigma smoothing: (a) the lazy AvE/EvA pair still builds (sigma
+    stripped -- no ice side), (b) the coupler's IvE apply matches the
+    CANONICAL rm.matrix('IvE', params) -- NOT the transpose of the
+    smoothed EvI (S is asymmetric; review finding)."""
+    from icebin_tpu.regrid.matrices import RegridParams
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+    from icebin_tpu.regrid.gcmregridder import GCMRegridder
+    scale = 25e3
+    specA = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, 7),
+                           latb=np.linspace(30.0, 80.0, 7))
+    specI = GridSpecXY(xb=np.linspace(0.0, 40.0 * scale, 33),
+                       yb=np.linspace(30.0 * scale, 80.0 * scale, 33),
+                       projection=PlateCarree(scale=scale))
+    gr = GCMRegridder(specA, hcdefs=[0.0, 800.0, 2500.0])
+    gr.add_sheet("s", specI, subdiv=1)
+    P = RegridParams(scale=True, correctA=True, sigma=(60e3, 60e3))
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=10, params=P,
+                        matrix_dtype=jnp.float64)
+    cp = GCMCoupler(gr, cfg)
+    sc = cp.sheets["s"]
+    assert sc.mat("AvE") is not None         # (a) no ValueError
+    # (b) IvE through the coupler == canonical smoothed IvE oracle
+    Mi = sc.rm.matrix("IvE", P)
+    rng = np.random.default_rng(11)
+    fE = rng.uniform(1.0, 2.0, cp.gr.nE)
+    got = np.asarray(sc.apply("IvE", jnp.asarray(fE)), np.float64)
+    ref = Mi.apply(fE, scale=True, fill=np.nan)
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(np.where(m, got, 0.0), np.where(m, ref, 0.0),
+                               rtol=2e-5, atol=1e-8 * np.abs(ref[m]).max())
