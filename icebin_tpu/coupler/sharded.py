@@ -80,6 +80,18 @@ class MeshIceSheetCoupler(IceSheetCoupler):
         return [Domain(low=(d * ny_l, 0), high=((d + 1) * ny_l, nx))
                 for d in range(n)]
 
+    def elevmask(self) -> np.ndarray:
+        """Host elevmask for matrix regeneration.  The ice state is sharded
+        over the GLOBAL mesh; in a multi-controller run each process holds
+        only its shards, so the full mask is assembled with ONE
+        process_allgather (the reference's per-rank restart gather analog
+        [U]) instead of a direct fetch (which raises)."""
+        em = self.state.elevmask(self.cfg.min_thickness)
+        if (isinstance(em, jax.Array) and not em.is_fully_addressable):
+            from jax.experimental import multihost_utils
+            em = multihost_utils.process_allgather(em, tiled=True)
+        return np.asarray(em)
+
     def place_state(self) -> None:
         """Shard H/bed over the ice (y) axis; scalars replicated."""
         import dataclasses
@@ -176,7 +188,10 @@ class MeshIceSheetCoupler(IceSheetCoupler):
 
             self._mesh_window = window
             self._mesh_window_key = key
-        ws = tuple((jnp.asarray(m._wS64), jnp.asarray(m._wI64))
+        # raw numpy weights: jit replicates them across processes (a local
+        # jnp.asarray would commit to this process's devices and clash
+        # with the global-mesh arrays in multi-controller runs)
+        ws = tuple((np.asarray(m._wS64), np.asarray(m._wI64))
                    for m in mats)
         arrs = [m.spm.stacked[n] for m, nk in zip(mats, names_k)
                 for n in nk]

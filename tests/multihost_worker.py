@@ -20,6 +20,7 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)   # f64 conservation ledger
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -116,7 +117,34 @@ def main():
     ok = wI[i0:i1] != 0
     np.testing.assert_allclose(locI[:, ok], refI_loc[:, ok],
                                rtol=2e-5, atol=1e-7)
-    print(f"proc {pid}: multihost OK ({nproc} procs x 4 devices)", flush=True)
+    # --- phase 2: the PRODUCTION mesh coupler, fused transient windows,
+    # across processes (multi-controller coupling with regen + E1vE0;
+    # state sharded over the global mesh, elevmask re-assembled with one
+    # process_allgather at regeneration)
+    from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler
+    nyc = 4 * (4 * nproc)
+    specI2 = GridSpecXY(xb=np.linspace(0.0, 16.0 * scale, 33),
+                        yb=np.linspace(40.0 * scale, 72.0 * scale, nyc + 1),
+                        projection=PlateCarree(scale=scale))
+    specA2 = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, 7),
+                            latb=np.linspace(30.0, 80.0, 7))
+    gr2 = GCMRegridder(specA2, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3000.0])
+    gr2.add_sheet("s", specI2, subdiv=1)
+    cp = GCMCoupler(gr2, CouplerConfig(dt=86400.0 * 30, regen_every=4),
+                    mesh=mesh)
+    rng2 = np.random.default_rng(2)
+    fE = np.zeros((4, gr2.nE))
+    fE[0] = 1e-5 * rng2.uniform(0.5, 1.0, gr2.nE)
+    fE[3] = -10.0
+    cp.run_transient(lambda t, s: fE, 6, fused=True)    # crosses a regen
+    rows = cp.ledger.to_rows()
+    assert len(rows) == 6
+    worst = max(abs(r["s.mass_in_E"] - r["s.mass_delivered_I"])
+                / abs(r["s.mass_in_E"]) for r in rows)
+    assert worst < 1e-10, worst
+
+    print(f"proc {pid}: multihost OK ({nproc} procs x 4 devices; fused "
+          f"mesh coupler worst {worst:.2e})", flush=True)
 
 
 if __name__ == "__main__":
