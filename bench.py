@@ -34,8 +34,9 @@ import time
 
 import numpy as np
 
-N1, N2 = 64, 576        # two-point chain lengths (latency cancels)
-N_TIMING_REPS = 6       # interleaved; min filters relay-latency spikes
+N1, N2 = 64, 576        # two-point chain lengths (latency cancels).
+                        # N2=1600 hung through the relay -- do not raise.
+N_TIMING_REPS = 8       # interleaved; min filters relay-latency spikes
 NVAR = 8
 
 ROOFS_GBPS = {  # nominal HBM bandwidth per chip
