@@ -520,7 +520,7 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
 # kernels
 # ---------------------------------------------------------------------------
 
-def _prods_kernel(B, tiles_ref, f_ref, out_ref):
+def _prods_kernel(B, passes, tiles_ref, f_ref, out_ref):
     """A1: per-pseudo-block MXU contraction, tiles x gathered field.
 
     tiles_ref (B, TS*8, 128); f_ref (B, NV, 128); out (B, TS*8, NV).
@@ -534,7 +534,7 @@ def _prods_kernel(B, tiles_ref, f_ref, out_ref):
     HIGHEST for callers that want the 1e-7 raw path.
     """
     for b in range(B):
-        if PRODS_PASSES >= 6:
+        if passes >= 6:
             out_ref[b] = jax.lax.dot_general(
                 tiles_ref[b], f_ref[b], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=HIGH)
@@ -667,11 +667,11 @@ def _contract_true_kernel(B, sec_blocks, scale, p2b_ref, si_ref, fl_ref,
             out_ref[:] = out_ref[:] * winv_ref[:]
 
 
-def _mk_prods(pm: PallasBDT, interpret: bool):
+def _mk_prods(pm: PallasBDT, interpret: bool, passes=None):
     T8, NV, B = pm.ts * TILE_R, pm.NV, _blk_step(pm.npspad)
     nstep = pm.npspad // B
     return pl.pallas_call(
-        functools.partial(_prods_kernel, B),
+        functools.partial(_prods_kernel, B, passes or PRODS_PASSES),
         grid=(nstep,),
         in_specs=[
             pl.BlockSpec((B, T8, TILE_C), lambda i: (i, 0, 0),
@@ -812,9 +812,11 @@ def _ov_e3_ids(pm: PallasBDT):
     return fbase[None, :] + jnp.arange(pm.NV, dtype=jnp.int32)[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "passes"))
 def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
-                        interpret: Optional[bool] = None):
+                        interpret: Optional[bool] = None,
+                        passes: Optional[int] = None):
     """dest-small (EvI/AvI): blocked ice (nblkpad, NV, 128) → E3 layout.
 
     Overflow entries and the weight scale ride a fused XLA epilogue on the
@@ -830,7 +832,7 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
     # Mosaic rejects x64 grid indices; the kernels are all-f32/int32, so
     # trace them with x64 scoped off (callers may run a global-x64 ledger).
     with jax.enable_x64(False):
-        prods = _mk_prods(pm, interpret)(pm.tiles2, fbp)
+        prods = _mk_prods(pm, interpret, passes)(pm.tiles2, fbp)
         p2 = prods.reshape(pm.npspad * pm.ts, TILE_R * pm.NV)  # free
         padrows = pm.nchunkpad * PS_CHUNK * pm.ts - pm.npspad * pm.ts
         if padrows:
@@ -952,9 +954,11 @@ def apply_view(vw: PallasView, f, scale: bool = True, var_factor=None,
     return out[0] if single else out
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "passes"))
 def apply_small(pm: PallasBDT, f, scale: bool = True,
-                interpret: Optional[bool] = None):
+                interpret: Optional[bool] = None,
+                passes: Optional[int] = None):
     """(NV, nice) or (nice,) → (NV, nsmall): convenience wrapper."""
     single = f.ndim == 1
     fv = f[None, :] if single else f
@@ -962,7 +966,7 @@ def apply_small(pm: PallasBDT, f, scale: bool = True,
     if nv_in < pm.NV:
         fv = jnp.pad(fv, ((0, pm.NV - nv_in), (0, 0)))
     e3 = apply_small_blocked(pm, pm.ice_to_blocked(fv), scale=scale,
-                             interpret=interpret)
+                             interpret=interpret, passes=passes)
     out = pm.e3_to_small(e3)[:nv_in]
     return out[0] if single else out
 

@@ -126,3 +126,21 @@ def test_multi_section_accumulator():
     gotI = np.asarray(apply_ice(pm, jnp.asarray(g, jnp.float32)))
     refI = oracle_ice(M, g)
     assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 2e-5
+
+
+def test_prods_passes_six_knob():
+    """passes=6 (the documented precision=HIGHEST escape hatch for the
+    3-pass default) is a per-call STATIC arg: tighter raw accuracy on the
+    same tile set."""
+    M = synth()
+    rng = np.random.default_rng(3)
+    f = rng.uniform(0.5, 1.5, (8, M.shape[1]))
+    pm = pallas_from_weighted(M, small_axis="rows", nv=8)
+    got3 = np.asarray(apply_small(pm, jnp.asarray(f, jnp.float32),
+                                  passes=3))
+    got6 = np.asarray(apply_small(pm, jnp.asarray(f, jnp.float32),
+                                  passes=6))
+    ref = oracle_small(M, f)
+    # 6-pass is the tighter contract; both meet the suite gate
+    assert np.max(np.abs(got6 - ref) / (np.abs(ref) + 1e-9)) < 2e-6
+    assert np.max(np.abs(got3 - ref) / (np.abs(ref) + 1e-9)) < 2e-5
