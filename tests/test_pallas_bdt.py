@@ -144,3 +144,37 @@ def test_prods_passes_six_knob():
     # 6-pass is the tighter contract; both meet the suite gate
     assert np.max(np.abs(got6 - ref) / (np.abs(ref) + 1e-9)) < 2e-6
     assert np.max(np.abs(got3 - ref) / (np.abs(ref) + 1e-9)) < 2e-5
+
+
+def test_empty_section_returns_zeros():
+    """An all-masked contiguous ice span wider than one accumulator section
+    must come back as ZEROS from the dest-ice apply, even unscaled -- an
+    unvisited section previously returned uninitialized memory (review
+    finding)."""
+    from icebin_tpu.ops.pallas_bdt import (SEC_BLOCKS, apply_ice_blocked,
+                                           pallas_from_weighted)
+    rng = np.random.default_rng(9)
+    nsec_span = SEC_BLOCKS * 128                # one full empty section
+    n_i = 3 * nsec_span                         # [data, EMPTY, data]
+    n_s = 2000
+    cols = np.concatenate([rng.integers(0, nsec_span, 6000),
+                           rng.integers(2 * nsec_span, n_i, 6000)])
+    rows = np.clip((cols * n_s // n_i) + rng.integers(-20, 20, cols.size),
+                   0, n_s - 1)
+    vals = rng.uniform(0.1, 2.0, cols.size)
+    key = rows.astype(np.int64) * n_i + cols
+    _, idx = np.unique(key, return_index=True)
+    M = WeightedMatrix(rows=rows[idx], cols=cols[idx], vals=vals[idx],
+                       shape=(n_s, n_i))
+    pm = pallas_from_weighted(M, small_axis="rows", nv=8)
+    assert pm.nblkpad >= 3 * SEC_BLOCKS
+    f = rng.uniform(0.5, 1.5, (8, n_s))
+    e3 = pm.small_to_e3(jnp.asarray(f, jnp.float32))
+    out = np.asarray(apply_ice_blocked(pm, e3, scale=False))
+    # the middle section's blocks: all zeros (no matrix entries there)
+    mid = out[SEC_BLOCKS:2 * SEC_BLOCKS]
+    assert np.all(mid == 0.0), np.abs(mid).max()
+    # and the data sections still match the oracle
+    gotI = np.asarray(apply_ice(pm, jnp.asarray(f, jnp.float32)))
+    refI = oracle_ice(M, f)
+    assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 2e-5
