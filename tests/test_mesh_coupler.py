@@ -201,3 +201,23 @@ def test_mesh_fused_transient_matches_stepwise():
     np.testing.assert_allclose(np.asarray(cp2.sheets["toy"].state.H),
                                np.asarray(cp1.sheets["toy"].state.H),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_mesh_sigma_ive_canonical():
+    """Smoothed configs on the MESH also build IvE from its canonical
+    matrix (no transpose-sharing of the asymmetric smoother)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from icebin_tpu.regrid.matrices import RegridParams
+    P = RegridParams(scale=True, correctA=True, sigma=(60e3, 60e3))
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=1 << 30, params=P)
+    cp = GCMCoupler(make_gr(), cfg, mesh=make_mesh(8))
+    sc = cp.sheets["toy"]
+    Mi = sc.rm.matrix("IvE", P)
+    rng = np.random.default_rng(13)
+    fE = rng.uniform(1.0, 2.0, cp.gr.nE)
+    got = np.asarray(sc.apply("IvE", jnp.asarray(fE)), np.float64)
+    ref = Mi.apply(fE, scale=True, fill=np.nan)
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(np.where(m, got, 0.0), np.where(m, ref, 0.0),
+                               rtol=2e-5, atol=1e-8 * np.abs(ref[m]).max())
