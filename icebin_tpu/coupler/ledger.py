@@ -24,7 +24,6 @@ from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["weighted_mass", "repair_mass", "Ledger"]
 

@@ -133,8 +133,6 @@ class MeshIceSheetCoupler(IceSheetCoupler):
         values under an unchanged trace -- no per-regen recompile, no
         stale weights.  Semantics identical to the base class.
         """
-        import dataclasses as _dcl
-
         import jax
         import jax.numpy as jnp
         from icebin_tpu.ops.pallas_bdt import PallasBDT

@@ -17,7 +17,6 @@ import dataclasses
 import pathlib
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from icebin_tpu.models.ice_sheet import IceSheetConfig, IceSheetState

@@ -30,7 +30,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["IceSheetConfig", "IceSheetState", "init_state", "step",
            "sia_flux_div_ghosted", "RHO_ICE", "GRAVITY"]
