@@ -64,7 +64,11 @@ def main(argv=None) -> int:
     if args.synthetic:
         base = synthetic_z1qx1n(_parse_grid(args.synthetic))
     elif args.base:
-        base = read_topo(args.base)
+        if args.base.lower().endswith((".giss", ".bs1", ".bin")):
+            from icebin_tpu.io.giss import read_z1qx1n
+            base = read_z1qx1n(args.base)
+        else:
+            base = read_topo(args.base)
     else:
         ap.error("need --base or --synthetic")
     topoo = make_topoo(base, _parse_grid(args.om))
