@@ -29,20 +29,26 @@ class DismalModel:
     """State-preserving stand-in with forcing capture.
 
     Use: ``sc = IceSheetCoupler(...); sc.ice_step = DismalModel(dir).step``
-    or call ``step(cfg, state, smb, dt)`` anywhere the SIA ``step`` fits.
+    or call ``step(cfg, state, smb, tsurf, dt)`` anywhere the coupled
+    ice-step protocol fits (returns zero melt/calving fluxes).
     """
 
     out_dir: Optional[str] = None
     _count: int = 0
 
     def step(self, cfg: IceSheetConfig, state: IceSheetState, smb_flux,
-             dt: float) -> IceSheetState:
+             tsurf, dt: float):
         if self.out_dir is not None:
             d = pathlib.Path(self.out_dir)
             d.mkdir(parents=True, exist_ok=True)
             np.savez_compressed(
                 d / f"dismal_{self._count:06d}.npz",
                 smb_flux=np.asarray(smb_flux).reshape(cfg.ny, cfg.nx),
+                tsurf=np.asarray(tsurf).reshape(cfg.ny, cfg.nx)
+                if tsurf is not None else np.zeros((cfg.ny, cfg.nx)),
                 t=float(state.t), dt=float(dt))
         self._count += 1
-        return IceSheetState(H=state.H, bed=state.bed, t=state.t + dt)
+        import jax.numpy as jnp
+        z = jnp.zeros_like(state.H)
+        return (IceSheetState(H=state.H, bed=state.bed, t=state.t + dt),
+                z, z)

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["IceSheetConfig", "IceSheetState", "init_state", "step",
-           "sia_flux_div_ghosted", "RHO_ICE", "GRAVITY"]
+           "step_coupled", "ablation_ghosted", "sia_flux_div_ghosted",
+           "RHO_ICE", "GRAVITY"]
 
 RHO_ICE = 910.0        # kg m-3
 GRAVITY = 9.81         # m s-2
@@ -50,6 +51,19 @@ class IceSheetConfig:
     dy: float                 # m
     dt_max: float = 0.1 * 365.2425 * 86400.0   # max internal substep [s]
     n_substeps_max: int = 64  # static bound for lax.scan substepping
+    # -- ablation physics (the ice->GCM mass-LOSS half of the coupling
+    #    budget; reference: PISM's surface melt + calving harvested as
+    #    pism_out basal/calving fluxes [U IceCoupler_PISM]) --
+    #: PDD-style degree-day melt factor [kg m-2 s-1 K-1]; default is the
+    #: canonical 8 mm w.e. K-1 day-1.  Melt = ddf * max(tsurf - melt_t0, 0)
+    #: wherever ice is present, clamped at the available thickness.
+    ddf: float = 8.0 / 86400.0
+    melt_t0: float = 273.15   # K
+    #: margin calving: ice-front cells (an ice-free 4-neighbor) thinner
+    #: than calv_thk [m] calve at rate H * (1 - exp(-dt/calv_tau)).
+    #: calv_thk = 0 disables calving.
+    calv_thk: float = 0.0
+    calv_tau: float = 86400.0 * 10.0
 
 
 @jax.tree_util.register_pytree_node_class
@@ -153,6 +167,38 @@ def _sia_flux_div(H, s, dx, dy):
     return sia_flux_div_ghosted(pad(H), pad(s), dx, dy)
 
 
+def ablation_ghosted(Hg_pre, H_post, tsurf, cfg: IceSheetConfig, dt_sub):
+    """One substep of surface melt + margin calving [m ice removed].
+
+    Hg_pre: (ny+2, nx+2) thickness WITH one ghost layer (pre-substep: the
+    same ghosted array the dynamics used, so the sharded path reuses its
+    halo exchange) -- used only for ice-front detection.
+    H_post: (ny, nx) thickness after dynamics + SMB.
+    tsurf: (ny, nx) surface temperature [K].
+
+    Returns (H_new, melt_act, calv_act); both removals are clamped at the
+    available thickness so the accounted mass EXACTLY equals the thickness
+    change (the conservation ledger books them as returned mass).  One code
+    path serves single-device and every sharding (SURVEY.md section 4).
+    """
+    melt_req = (cfg.ddf / RHO_ICE) * jnp.maximum(
+        tsurf - cfg.melt_t0, 0.0).astype(H_post.dtype) * dt_sub
+    melt_act = jnp.minimum(melt_req, H_post)
+    H1 = H_post - melt_act
+
+    if cfg.calv_thk > 0.0:
+        nb_min = jnp.minimum(
+            jnp.minimum(Hg_pre[:-2, 1:-1], Hg_pre[2:, 1:-1]),
+            jnp.minimum(Hg_pre[1:-1, :-2], Hg_pre[1:-1, 2:]))
+        front = (H1 > 0.0) & (nb_min <= 0.0) & (H1 < cfg.calv_thk)
+        frac = -jnp.expm1(-dt_sub / cfg.calv_tau).astype(H1.dtype)
+        calv_act = jnp.where(front, H1 * frac, 0.0)
+        H1 = H1 - calv_act
+    else:
+        calv_act = jnp.zeros_like(H1)
+    return H1, melt_act, calv_act
+
+
 def step(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
          dt: float) -> IceSheetState:
     """Advance one coupling interval ``dt`` [s].
@@ -162,13 +208,37 @@ def step(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
     using a static-bound ``lax.scan`` (jit-friendly: no data-dependent trip
     count; excess substeps are masked no-ops).
     """
+    new_state, _, _ = step_coupled(cfg, state, smb_flux, None, dt)
+    return new_state
+
+
+def step_coupled(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
+                 tsurf, dt: float):
+    """``step`` plus the mass-LOSS half of the budget: PDD surface melt
+    driven by ``tsurf`` [K] and thickness-threshold margin calving
+    (``ablation_ghosted``).  Returns (state, melt_flux, calving_flux) with
+    the fluxes as (ny, nx) interval means [kg m-2 s-1, ice leaving
+    positive] -- the nonzero ``basal_flux``/``calving_flux`` the output
+    contract transports back to the GCM (reference: PISM's pism_out
+    basal/calving harvest [U IceCoupler_PISM]; SURVEY.md section 3.3).
+
+    ``tsurf=None`` skips ablation statically (the legacy ``step`` path:
+    bit-identical trajectories to the melt-free model).
+    """
     smb = (jnp.asarray(smb_flux).reshape(cfg.ny, cfg.nx) / RHO_ICE
            ).astype(state.H.dtype)  # m/s ice equivalent
+    ts = None if tsurf is None else (
+        jnp.asarray(tsurf).reshape(cfg.ny, cfg.nx).astype(state.H.dtype))
+
+    def pad(a):
+        a = jnp.concatenate([a[:1], a, a[-1:]], axis=0)
+        return jnp.concatenate([a[:, :1], a, a[:, -1:]], axis=1)
 
     def substep(carry, _):
-        H, t_done = carry
-        s = state.bed + H
-        div, Dmax = _sia_flux_div(H, s, cfg.dx, cfg.dy)
+        H, t_done, melt_cum, calv_cum = carry
+        Hg = pad(H)
+        sg = pad(state.bed) + Hg
+        div, Dmax = sia_flux_div_ghosted(Hg, sg, cfg.dx, cfg.dy)
         # diffusive CFL: dt < min(dx,dy)^2 / (4 Dmax)
         cfl = jnp.where(Dmax > 0,
                         0.25 * min(cfg.dx, cfg.dy) ** 2 / (Dmax + 1e-30),
@@ -180,8 +250,15 @@ def step(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
         # the ice side and accounted by the coupler ledger as 'unmelted').
         dH = (div + smb) * dt_sub
         H_new = jnp.maximum(H + dH, 0.0)
-        return (H_new, t_done + dt_sub), None
+        if ts is not None:
+            H_new, melt, calv = ablation_ghosted(Hg, H_new, ts, cfg, dt_sub)
+            melt_cum = melt_cum + melt
+            calv_cum = calv_cum + calv
+        return (H_new, t_done + dt_sub, melt_cum, calv_cum), None
 
-    (H, t_done), _ = jax.lax.scan(substep, (state.H, jnp.zeros((), state.H.dtype)),
-                                  None, length=cfg.n_substeps_max)
-    return IceSheetState(H=H, bed=state.bed, t=state.t + dt)
+    z = jnp.zeros_like(state.H)
+    (H, t_done, melt_cum, calv_cum), _ = jax.lax.scan(
+        substep, (state.H, jnp.zeros((), state.H.dtype), z, z),
+        None, length=cfg.n_substeps_max)
+    new_state = IceSheetState(H=H, bed=state.bed, t=state.t + dt)
+    return new_state, melt_cum * (RHO_ICE / dt), calv_cum * (RHO_ICE / dt)

@@ -50,24 +50,30 @@ def make_sharded_ice_step(mesh):
 
     n = int(mesh.devices.size)
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "dt"))
-    def _advance(cfg, H, bed, smb_flux, dt):
+    @functools.partial(jax.jit, static_argnames=("cfg", "dt", "has_ts"))
+    def _advance(cfg, H, bed, smb_flux, tsurf, dt, has_ts):
         smb2 = (jnp.asarray(smb_flux).reshape(cfg.ny, cfg.nx) / _RHO
                 ).astype(H.dtype)
+        ts2 = (jnp.asarray(tsurf).reshape(cfg.ny, cfg.nx).astype(H.dtype)
+               if has_ts else jnp.zeros_like(smb2))
 
-        def local(Hl, bedl, smbl):
-            return _sia_substeps_local(Hl, bedl, smbl, dt, cfg,
+        def local(Hl, bedl, smbl, tsl):
+            return _sia_substeps_local(Hl, bedl, smbl,
+                                       tsl if has_ts else None, dt, cfg,
                                        cfg.dx, cfg.dy, cfg.n_substeps_max)
 
-        sm = shard_map(local, mesh=mesh, in_specs=(P(ICE_AXIS),) * 3,
-                       out_specs=P(ICE_AXIS), check_vma=False)
-        return sm(H, bed, smb2)
+        sm = shard_map(local, mesh=mesh, in_specs=(P(ICE_AXIS),) * 4,
+                       out_specs=(P(ICE_AXIS),) * 3, check_vma=False)
+        return sm(H, bed, smb2, ts2)
 
-    def step_like(cfg, state, smb_flux, dt):
+    def step_like(cfg, state, smb_flux, tsurf, dt):
         if cfg.ny % n:
             raise ValueError(f"ny={cfg.ny} not divisible by {n} devices")
-        H1 = _advance(cfg, state.H, state.bed, smb_flux, dt)
-        return IceSheetState(H=H1, bed=state.bed, t=state.t + dt)
+        H1, melt, calv = _advance(cfg, state.H, state.bed, smb_flux,
+                                  tsurf if tsurf is not None else state.H,
+                                  dt, tsurf is not None)
+        new_state = IceSheetState(H=H1, bed=state.bed, t=state.t + dt)
+        return new_state, melt * (_RHO / dt), calv * (_RHO / dt)
 
     step_like.jittable = True    # pure shard_map: safe under an outer jit
     return step_like
@@ -110,12 +116,16 @@ def shard_coupled_setup(mesh, ive: BDTMatrix, evi: BDTMatrix, state,
     return ops, specs
 
 
-def _sia_substeps_local(H, bed, smb, dt, cfg: IceSheetConfig, dx, dy,
+def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
                         n_substeps):
-    """Local SIA substepping with per-substep 1-row halo exchange."""
+    """Local SIA substepping with per-substep 1-row halo exchange, plus the
+    shared ablation pass (melt + margin calving) on the SAME ghosted
+    thickness the dynamics used -- sharded trajectories and returned-mass
+    fluxes are bit-identical to the single-device ``step_coupled``."""
+    from icebin_tpu.models.ice_sheet import ablation_ghosted
 
     def substep(carry, _):
-        Hl, t_done = carry
+        Hl, t_done, melt_cum, calv_cum = carry
         def padx(a):   # x is unsharded in the 1-D decomposition
             return jnp.concatenate([a[:, :1], a, a[:, -1:]], axis=1)
         Hg = padx(halo_exchange_rows(Hl, 1, ICE_AXIS))
@@ -127,11 +137,17 @@ def _sia_substeps_local(H, bed, smb, dt, cfg: IceSheetConfig, dx, dy,
         dt_sub = jnp.maximum(
             jnp.minimum(jnp.minimum(cfl, cfg.dt_max), dt - t_done), 0.0)
         Hn2 = jnp.maximum(Hl + (div + smb) * dt_sub.astype(Hl.dtype), 0.0)
-        return (Hn2, t_done + dt_sub), None
+        if tsurf is not None:
+            Hn2, melt, calv = ablation_ghosted(Hg, Hn2, tsurf, cfg,
+                                               dt_sub.astype(Hl.dtype))
+            melt_cum = melt_cum + melt
+            calv_cum = calv_cum + calv
+        return (Hn2, t_done + dt_sub, melt_cum, calv_cum), None
 
-    (H1, _), _ = jax.lax.scan(substep, (H, jnp.zeros((), H.dtype)), None,
-                              length=n_substeps)
-    return H1
+    z = jnp.zeros_like(H)
+    (H1, _, melt_cum, calv_cum), _ = jax.lax.scan(
+        substep, (H, jnp.zeros((), H.dtype), z, z), None, length=n_substeps)
+    return H1, melt_cum, calv_cum
 
 
 def make_sharded_step(mesh, ice_cfg: IceSheetConfig, nsmall_E: int,
@@ -157,9 +173,9 @@ def make_sharded_step(mesh, ice_cfg: IceSheetConfig, nsmall_E: int,
         smb = (fI[0] / rho_ice).reshape(ny_l, ice_cfg.nx).astype(H.dtype)
 
         # 2. local ice dynamics with ring halo exchange
-        H1 = _sia_substeps_local(H, bed, smb, dt, ice_cfg,
-                                 ice_cfg.dx, ice_cfg.dy,
-                                 ice_cfg.n_substeps_max)
+        H1, _, _ = _sia_substeps_local(H, bed, smb, None, dt, ice_cfg,
+                                       ice_cfg.dx, ice_cfg.dy,
+                                       ice_cfg.n_substeps_max)
 
         # 3. EvI harvest: local partials + ONE psum (no root gather)
         icy = H1.reshape(-1) > 1.0

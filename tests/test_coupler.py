@@ -110,7 +110,8 @@ def test_transient_loop_conservation():
         assert abs(m_in - m_del) / abs(m_in) < 1e-10   # north star
         if prev_mass is not None:
             lhs = r["toy.ice_mass"] - prev_mass
-            rhs = m_del + r["toy.mass_residual"]
+            rhs = (m_del - r["toy.mass_returned_I"]
+                   + r["toy.mass_residual"])
             scale = max(abs(r["toy.ice_mass"]), abs(m_del))
             assert abs(lhs - rhs) / scale < 1e-12
         prev_mass = r["toy.ice_mass"]

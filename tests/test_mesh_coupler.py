@@ -51,7 +51,8 @@ def check_ledger_closure(rows, sheet):
         assert abs(m_in - m_del) / abs(m_in) < 1e-10       # north star
         if prev_mass is not None:
             lhs = r[f"{sheet}.ice_mass"] - prev_mass
-            rhs = m_del + r[f"{sheet}.mass_residual"]
+            rhs = (m_del - r[f"{sheet}.mass_returned_I"]
+                   + r[f"{sheet}.mass_residual"])
             scale = max(abs(r[f"{sheet}.ice_mass"]), abs(m_del))
             assert abs(lhs - rhs) / scale < 1e-12
         prev_mass = r[f"{sheet}.ice_mass"]
