@@ -18,7 +18,12 @@ Methodology notes (see .claude/skills/verify/SKILL.md):
 * conservation is asserted (f64, < 1e-10) before timing -- a fast wrong
   answer must fail the bench.
 * byte accounting counts what one round trip actually streams (tiles twice
-  -- once per direction -- products/window intermediates, fields, E3).
+  -- once per direction -- gathered fields, E3, true-block output).  NOTE
+  round 3 FUSED each direction into one kernel, so the products/window
+  interchange buffers no longer exist and are no longer counted: the r3
+  stream_bytes is ~7% SMALLER than r2's at config #3 for the same logical
+  work, so GB/s values are not directly comparable across those rounds
+  (compare round-trip microseconds, reported as `rt_us`).
 * vs_baseline = achieved / (0.70 * nominal HBM roof): 1.0 == the north-star
   target "SpMV >= 70% of HBM roof" (BASELINE.md).  No reference numbers
   exist (reference publishes none).  Measured practical stream roof on the
@@ -27,6 +32,10 @@ Methodology notes (see .claude/skills/verify/SKILL.md):
 * The exchange-grid BUILD is timed too (candidate pairs/s through the
   engine `make_exchange_grid` selects -- the north-star "overlap cells/s"
   metric) and reported as extra keys on the same line.
+* Antarctica 5 km (BASELINE config #5's second sheet: 1120x1120 = 1.25 M
+  cells, pole-centered EPSG-3031) runs the SAME gated apply chain and
+  reports `antarctica_GBps` + `antarctica_vs_greenland` (VERDICT r2 #1
+  done-criterion: >= 0.8x the Greenland GB/s, same conservation gate).
 """
 import json
 import sys
@@ -36,6 +45,8 @@ import numpy as np
 
 N1, N2 = 64, 576        # two-point chain lengths (latency cancels).
                         # N2=1600 hung through the relay -- do not raise.
+N1_BIG, N2_BIG = 8, 56  # ...for the Antarctica-scale sheet (its round trip
+                        # is ~10x longer; chain wall time stays ~100 ms)
 N_TIMING_REPS = 8       # interleaved; min filters relay-latency spikes
 NVAR = 8
 
@@ -63,27 +74,40 @@ def build_matrices():
     from icebin_tpu.regrid.matrices import RegridParams
 
     specA = modele_lonlat_grid(144, 90)
+    R = 2800e3
+    nA5 = int(2 * R / 5e3)                     # 1120 -> 1.25 M cells
     sheets = {
         "greenland": GridSpecXY(
             xb=np.linspace(-650e3, 870e3, 305),
             yb=np.linspace(-3350e3, -630e3, 545),
             projection="+proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 "
                        "+ellps=WGS84"),
+        "antarctica": GridSpecXY(
+            xb=np.linspace(-R, R, nA5 + 1), yb=np.linspace(-R, R, nA5 + 1),
+            projection="+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 "
+                       "+ellps=WGS84", name="antarctica_5km"),
     }
     gr = GCMRegridder(specA, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3500.0])
     P = RegridParams(scale=True, correctA=True)
     out = {}
     build_stats = {"pairs": 0, "seconds": 0.0}
     for name, specI in sheets.items():
-        # timed exchange-grid build through the default (auto) engine --
-        # on TPU this is the Pallas clip kernel (north-star geometric path)
-        polysA, keepA = prepare_subject_polygons(specA, specI, subdiv=2)
-        pA, _ = candidate_pairs(specA, specI, polysA, keepA)
-        xg = make_exchange_grid(specA, specI, subdiv=2)   # warm (compiles)
-        t0 = time.perf_counter()
-        xg = make_exchange_grid(specA, specI, subdiv=2)
-        build_stats["seconds"] += time.perf_counter() - t0
-        build_stats["pairs"] += len(pA)
+        if name == "greenland":
+            # timed exchange-grid build through the default (auto) engine
+            # -- on TPU the Pallas clip kernel (north-star "overlap
+            # cells/s"); warm build first so compile time is excluded
+            polysA, keepA = prepare_subject_polygons(specA, specI, subdiv=2)
+            pA, _ = candidate_pairs(specA, specI, polysA, keepA)
+            xg = make_exchange_grid(specA, specI, subdiv=2)  # warm
+            t0 = time.perf_counter()
+            xg = make_exchange_grid(specA, specI, subdiv=2)
+            build_stats["seconds"] += time.perf_counter() - t0
+            build_stats["pairs"] += len(pA)
+        else:
+            # Antarctica (1.25 M cells): built ONCE, untimed -- a warm
+            # second build would double the bench wall time for a number
+            # the Greenland build already measures
+            xg = make_exchange_grid(specA, specI, subdiv=2)
         gr.add_sheet(name, Grid(specI), exchange=xg)
         c = specI.cell_centers()
         ex = (np.ptp(specI.xb) / 2.2, np.ptp(specI.yb) / 2.2)
@@ -134,41 +158,38 @@ def main():
             m_rep = float(jnp.sum(rep[0] * jnp.asarray(Me.wM)))
         assert abs(m_rep - m_src) / abs(m_src) < 1e-10, "repair gate failed"
 
-    pms = [pm for (pm, _, _) in mats.values()]
-    fbs = [pm.ice_to_blocked(
-               jnp.asarray(rng.uniform(0.5, 1.5, (NVAR, pm.nice)),
-                           jnp.float32))
-           for pm in pms]
-
-    def make_chain(n_reps):
+    # per-sheet two-point timing (both directions stream the SAME tile
+    # set; each round trip reads it twice, once per direction)
+    def make_chain(pm, n_reps):
         @jax.jit
-        def chain(ms, fs):
+        def chain(p, f0):
             def body(c, _):
-                out = []
-                for pm, fb in zip(ms, c):
-                    e3 = apply_small_blocked(pm, fb, scale=True)
-                    out.append(apply_ice_blocked(pm, e3, scale=True))
-                return tuple(out), ()
-            c, _ = jax.lax.scan(body, tuple(fs), None, length=n_reps)
-            return sum(x.sum() for x in c)
+                e3 = apply_small_blocked(p, c, scale=True)
+                return apply_ice_blocked(p, e3, scale=True), ()
+            c, _ = jax.lax.scan(body, f0, None, length=n_reps)
+            return c.sum()
         return chain
 
-    c1, c2 = make_chain(N1), make_chain(N2)
-    float(c1(pms, fbs))                      # compile + warm
-    float(c2(pms, fbs))
-    # interleave the two points so relay-latency drift hits both equally
-    ts1, ts2 = [], []
-    for _ in range(N_TIMING_REPS):
-        ts1.append(_timed(c1, pms, fbs))
-        ts2.append(_timed(c2, pms, fbs))
-    t1, t2 = min(ts1), min(ts2)
-    per_rt = max((t2 - t1) / (N2 - N1), 1e-9)
-    lat = t1 - N1 * per_rt                   # implied sync latency (report)
+    per_sheet = {}
+    for name, (pm, Me, Mi) in mats.items():
+        fb = pm.ice_to_blocked(
+            jnp.asarray(rng.uniform(0.5, 1.5, (NVAR, pm.nice)), jnp.float32))
+        n1, n2 = (N1, N2) if pm.npspad < 8192 else (N1_BIG, N2_BIG)
+        c1, c2 = make_chain(pm, n1), make_chain(pm, n2)
+        float(c1(pm, fb))                    # compile + warm
+        float(c2(pm, fb))
+        # interleave the two points so relay-latency drift hits both equally
+        ts1, ts2 = [], []
+        for _ in range(N_TIMING_REPS):
+            ts1.append(_timed(c1, pm, fb))
+            ts2.append(_timed(c2, pm, fb))
+        t1, t2 = min(ts1), min(ts2)
+        per_rt = max((t2 - t1) / (n2 - n1), 1e-9)
+        lat = t1 - n1 * per_rt               # implied sync latency (report)
+        per_sheet[name] = {"gbps": pm.stream_bytes / per_rt / 1e9,
+                           "rt_us": 1e6 * per_rt, "lat_ms": 1e3 * lat}
 
-    # both directions stream the SAME tile set; each round trip still
-    # reads it twice (once per direction)
-    rt_bytes = sum(pm.stream_bytes for pm in pms)
-    gbps = rt_bytes / per_rt / 1e9
+    gbps = per_sheet["greenland"]["gbps"]
     roof = nominal_roof()
 
     coupler_stats = bench_coupler()
@@ -177,7 +198,12 @@ def main():
         "value": round(gbps, 2), "unit": "GB/s",
         "vs_baseline": round(gbps / (0.70 * roof), 4),
         "roof_nominal_GBps": roof,
-        "sync_latency_ms": round(1e3 * lat, 2),
+        "rt_us": round(per_sheet["greenland"]["rt_us"], 1),
+        "sync_latency_ms": round(per_sheet["greenland"]["lat_ms"], 2),
+        "antarctica_GBps": round(per_sheet["antarctica"]["gbps"], 2),
+        "antarctica_rt_us": round(per_sheet["antarctica"]["rt_us"], 1),
+        "antarctica_vs_greenland": round(
+            per_sheet["antarctica"]["gbps"] / gbps, 4),
         "build_pairs_per_s": round(build_stats["pairs"]
                                    / max(build_stats["seconds"], 1e-9)),
         "build_seconds": round(build_stats["seconds"], 3),
@@ -244,9 +270,9 @@ def bench_coupler():
             "regen_seconds_5km": round(regen_s, 3)}
 
 
-def _timed(fn, pms, fbs):
+def _timed(fn, pm, fb):
     t0 = time.perf_counter()
-    float(fn(pms, fbs))
+    float(fn(pm, fb))
     return time.perf_counter() - t0
 
 

@@ -109,7 +109,8 @@ class MeshIceSheetCoupler(IceSheetCoupler):
         for name in ("EvI", "AvI"):
             M = self.rm.matrix(name, self.cfg.params)
             fwd, rev = sharded_view_pair(self.mesh, M, small_axis="rows",
-                                         nv=self.nv, interpret=self.interpret)
+                                         nv=self.nv, interpret=self.interpret,
+                                         passes=self.cfg.prods_passes)
             self._mats[name] = fwd
             if share:
                 self._mats["Iv" + name[0]] = rev
@@ -117,7 +118,8 @@ class MeshIceSheetCoupler(IceSheetCoupler):
                 Mr = self.rm.matrix("Iv" + name[0], self.cfg.params)
                 self._mats["Iv" + name[0]] = sharded_view_pair(
                     self.mesh, Mr, small_axis="cols", nv=self.nv,
-                    interpret=self.interpret)[0]
+                    interpret=self.interpret,
+                    passes=self.cfg.prods_passes)[0]
 
     def _window_fusible(self) -> bool:
         mats = (self.mat("IvE"), self.mat("EvI"), self.mat("AvI"))
@@ -144,12 +146,13 @@ class MeshIceSheetCoupler(IceSheetCoupler):
         names_k = tuple(tuple(n for n in PallasBDT._ARRAYS
                               if m.spm.stacked[n] is not None)
                         for m in mats)
-        key = (self.ice_step,
+        key = (self.ice_step, self.cfg.prods_passes,
                tuple((_statics_of(m.spm.template), nk, m.transposed)
                      for m, nk in zip(mats, names_k)))
         if getattr(self, "_mesh_window_key", None) != key:
             core = self._couple_core
             mesh, interp = self.mesh, self.interpret
+            psx = self.cfg.prods_passes
             nice = mats[0].nice
             lites = tuple(ShardedPallasBDT(
                 stacked={}, template=m.spm.template,
@@ -166,7 +169,7 @@ class MeshIceSheetCoupler(IceSheetCoupler):
                         lites, names_k, transposed, counts, ws):
                     views.append(ArgShardedView(
                         mesh, lite, nk, arrs[off:off + cnt], tp, nice,
-                        wS, wI, interp))
+                        wS, wI, interp, passes=psx))
                     off += cnt
                 ive_v, evi_v, avi_v = views
                 sh = jax.eval_shape(lambda st, f: core(ive_v, evi_v, avi_v,

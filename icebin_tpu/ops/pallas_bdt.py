@@ -17,24 +17,30 @@ Two design moves:
    (take) into pseudo order, and the dest-ice output is summed back with a
    sorted segment-sum. Padding drops to < 20% at TS=4 with no COO overflow.
 
-2. **Each apply direction is TWO Pallas kernels glued by an XLA reshape
-   that is free in row-major layout** (Mosaic cannot shape-cast
-   sublanes→lanes in-kernel, so the (tiles, 8, NV)→(tiles, 8*NV) fold
-   happens between kernels where it costs nothing):
+2. **Each apply direction is ONE fused Pallas kernel** (round 3; round 2
+   used two kernels glued by an HBM interchange buffer whose (…, TS*8, NV)
+   shape XLA pads 16x to (8,128) tiles — at Antarctica scale that stall
+   capped the round trip at ~0.43x Greenland GB/s).  Per grid step, one
+   CHUNK of PS_CHUNK pseudo-blocks streams its tiles + gathered fields;
+   the per-pseudo MXU contraction products never leave VMEM:
 
-   dest-small (EvI/AvI):
-     A1 ``prods``: stream tiles2 (npseudo, TS*8, 128); per pseudo-block one
-        MXU contraction against the gathered field (npseudo, NV, 128) →
-        products (npseudo, TS*8, NV).  [all the HBM bytes; no irregularity]
-     -- XLA reshape (free): → (npseudo*TS, 8*NV) tile rows
-     A2 ``scatter``: per chunk of C2 tile rows, build the window one-hot ON
-        THE FLY from offsets (iota compare) and matmul it with the
-        products, accumulating into a VMEM-resident E3 window-layout
-        accumulator: E3[w, r*NV+v] = E[v, w*8+r].
+   dest-small (EvI/AvI), ``_fused_small_kernel``: per pseudo-block one MXU
+     contraction of the R-MAJOR tiles (rows r*TS+t) against the gathered
+     field → (TS*8, NV) VMEM scratch, folded to E3 lane order (TS, 8*NV)
+     by 8 sublane slices + one lane concat (Mosaic cannot shape-cast an
+     8-lane minor, and crashes slicing a dot RESULT — tools/probe_fold_ops
+     .py; slicing the scratch is the proven form), landing in a (C2, 8*NV)
+     chunk scratch; then ONE one-hot band matmul (iota compare on window
+     offsets) accumulates the chunk into the VMEM-resident E3 accumulator:
+     E3[w, r*NV+v] = E[v, w*8+r].
 
-   dest-ice (IvE/IvA) is the exact reverse: B1 ``gather`` (one-hot
-   transpose band matmul out of E3) then B2 ``contract`` (tile stream,
-   per-pseudo-block MXU contraction), segment-sum to true blocks, scale.
+   dest-ice (IvE/IvA), ``_fused_ice_kernel``, is the exact reverse: the
+     one-hot-transpose band matmul gathers E3 window rows into the chunk
+     scratch, each pseudo-block's rows are UNfolded (8 lane slices →
+     contiguous scratch rows, matching the r-major tiles) and contracted,
+     landing straight in the section-indexed TRUE-block accumulator (the
+     out BlockSpec rides a scalar-prefetched section index; one global
+     accumulator stops fitting VMEM past ~2k blocks).
 
 E stays in E3 layout and ice fields in blocked layout across a coupling
 round trip, so the directions compose with minimal glue. Tiles whose
@@ -74,20 +80,13 @@ PRODS_PASSES = 3     # A1 MXU passes: 3 = in-kernel bf16 split (~4e-6 raw,
                      # K=32 contraction is MXU-shape-bound, not pass-bound).
 W8_CAP = 2048       # max window slots per chunk band (VMEM: W8*NV8*512 B)
 TS = 4              # windows per pseudo-block (the padding granularity)
-PS_CHUNK = 128      # pseudo-blocks per scatter/gather chunk (C2=PS_CHUNK*TS)
-BLK_STEP = 64       # pseudo-blocks per streaming-kernel grid step (swept
-                    # on-chip: 64 -> 617 GB/s, 128 -> 566, 256 -> 600)
-BLK_STEP_BIG = 128  # ...at >= BIG_NPS pseudo-blocks (Antarctica-class),
-                    # where bigger DMAs amortize per-step overheads
-BIG_NPS = 8192
-CH_GROUP = 16       # chunks per scatter/gather grid step (in-kernel loop)
-SEC_BLOCKS = 1024   # true-ice blocks per B2' accumulator section (4 MB of
-                    # VMEM at NV=8; one global accumulator stops fitting
+PS_CHUNK = 128      # pseudo-blocks per fused-kernel grid step (C2=PS_CHUNK*TS)
+CH_GROUP = 16       # legacy two-kernel chunk grouping; kept only because
+                    # the sharded builder pads w_off/w_offT to its multiple
+                    # (harmless: the fused grid visits nchunk steps)
+SEC_BLOCKS = 1024   # true-ice blocks per dest-ice accumulator section (4 MB
+                    # of VMEM at NV=8; one global accumulator stops fitting
                     # VMEM past ~2k blocks -- see _finish_pack)
-
-
-def _blk_step(npspad: int) -> int:
-    return BLK_STEP_BIG if npspad >= BIG_NPS else BLK_STEP
 
 
 def _interpret_default() -> bool:
@@ -103,7 +102,8 @@ class PallasBDT:
     the same tile set (the unscaled A/E<->I matrices are exact transposes).
     """
 
-    tiles2: jnp.ndarray       # (npspad, TS*8, 128) f32 pseudo-block tiles
+    tiles2: jnp.ndarray       # (npspad, 8*TS, 128) f32 R-MAJOR pseudo-block
+                              # tiles: rows r*TS+t (r = small row-in-window)
     pseudo2blk: jnp.ndarray   # (npspad,) int32 true ice block of each pseudo
     w_off: jnp.ndarray        # (nchunk*8, C2) int32 window - base8 (rows
                               # repeated 8x: Mosaic block-tiling rule)
@@ -117,10 +117,10 @@ class PallasBDT:
     ov_s: Optional[jnp.ndarray]
     ov_c: Optional[jnp.ndarray]
     ov_v: Optional[jnp.ndarray]
-    #: per-B2'-grid-step accumulator section index / entry-exit flags
-    #: (bit0 = first step of its section: zero-init; bit1 = last: scale)
-    sec_idx: jnp.ndarray      # (npspad // BLK_STEP,) int32
-    sec_flags: jnp.ndarray    # (npspad // BLK_STEP,) int32
+    #: per-CHUNK (= grid step) accumulator section index / entry-exit flags
+    #: (bit0 = first chunk of its section: zero-init; bit1 = last: scale)
+    sec_idx: jnp.ndarray      # (npspad // PS_CHUNK,) int32
+    sec_flags: jnp.ndarray    # (npspad // PS_CHUNK,) int32
     # static geometry
     ts: int                   # windows per pseudo-block
     W8: int
@@ -151,21 +151,18 @@ class PallasBDT:
 
     @property
     def bytes_small(self) -> int:
-        """HBM bytes the dest-small (EvI) direction actually moves."""
-        nps_tiles = self.npspad * self.ts * TILE_R
+        """HBM bytes the dest-small (EvI) direction actually moves (the
+        fused kernel keeps the per-pseudo products in VMEM)."""
         return int(self.tiles2.size * 4                  # tile stream
-                   + 2 * nps_tiles * self.NV * 4         # prods w+r
                    + 2 * self.npspad * self.NV * TILE_C * 4   # fbp gather w+r
                    + self.nblkpad * self.NV * TILE_C * 4      # true field r
                    + self.NWpad * TILE_R * self.NV * 4)       # E3 w
 
     @property
     def bytes_ice(self) -> int:
-        """HBM bytes the dest-ice (IvE) direction actually moves (B2'
-        lands straight in true blocks — no pseudo output round trip)."""
-        nps_tiles = self.npspad * self.ts * TILE_R
+        """HBM bytes the dest-ice (IvE) direction actually moves (fused:
+        window rows stay in VMEM; output lands straight in true blocks)."""
         return int(self.tiles2.size * 4                  # tile stream
-                   + 2 * nps_tiles * self.NV * 4         # fwin w+r
                    + self.NWpad * TILE_R * self.NV * 4   # E3 r
                    + self.nblkpad * self.NV * TILE_C * 4      # true field w
                    + self.nblkpad * TILE_C * 4)               # winv r
@@ -383,10 +380,10 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     r_new[pos] = realp[ridx]
     tiles_ps, w_ps, realp, pseudo2blk = t_new, w_new, r_new, p2_new
 
-    # -- per-B2'-step section metadata (nstep = npspad // blk_step)
-    bstep = _blk_step(npspad)
-    nstep_b2 = npspad // bstep
-    step_sec = (pseudo2blk[::bstep] // sec_blocks).astype(np.int32)
+    # -- per-CHUNK section metadata (fused grid: one chunk per step;
+    # sections pad to whole chunks so steps never straddle sections)
+    nstep_b2 = npspad // PS_CHUNK
+    step_sec = (pseudo2blk[::PS_CHUNK] // sec_blocks).astype(np.int32)
     sec_flags = np.zeros(nstep_b2, np.int32)
     firsts = np.ones(nstep_b2, bool)
     firsts[1:] = step_sec[1:] != step_sec[:-1]
@@ -454,7 +451,11 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
         offc = np.pad(offc, ((0, nchunkpad - nchunk), (0, 0)))
         base8 = np.pad(base8, (0, nchunkpad - nchunk))
     return PallasBDT(
-        tiles2=jnp.asarray(tiles_ps.reshape(npspad, ts * TILE_R, TILE_C)),
+        # R-MAJOR tile rows (r*ts + t): the fused kernels' fold/unfold
+        # slices are per-r contiguous blocks of ts rows
+        tiles2=jnp.asarray(np.ascontiguousarray(
+            tiles_ps.transpose(0, 2, 1, 3)
+            .reshape(npspad, ts * TILE_R, TILE_C))),
         pseudo2blk=jnp.asarray(pseudo2blk.astype(np.int32)),
         w_off=jnp.asarray(np.repeat(offc, TILE_R, axis=0)),
         w_offT=jnp.asarray(offc.reshape(nchunkpad * C2, 1)),
@@ -520,39 +521,80 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
 # kernels
 # ---------------------------------------------------------------------------
 
-def _prods_kernel(B, passes, tiles_ref, f_ref, out_ref):
-    """A1: per-pseudo-block MXU contraction, tiles x gathered field.
+def _split2(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
-    tiles_ref (B, TS*8, 128); f_ref (B, NV, 128); out (B, TS*8, NV).
 
-    Precision: both operands split in-kernel to bf16 (hi, lo) on the VPU
-    and contracted in PRODS_PASSES=3 MXU passes (hh + lh + hl).  Measured
-    on cfg #3: 58 us vs 89 us for precision=HIGHEST's generic 6-pass
-    emulation, max relative error 3.5e-6 vs 8.7e-8 (the dropped ll term
-    and 16-bit operand truncation; conservation is untouched -- the f64
-    repair runs on weighted sums downstream).  PRODS_PASSES=6 restores
-    HIGHEST for callers that want the 1e-7 raw path.
-    """
-    for b in range(B):
+def _dot3(a, b, dims):
+    """3-pass split-bf16 dot (hh + lh + hl): ~4e-6 raw relative accuracy at
+    1.5x the speed of precision=HIGHEST's generic 6-pass emulation (the
+    dropped ll term and 16-bit operand truncation; conservation is
+    untouched -- the f64 repair runs on weighted sums downstream).
+    PRODS_PASSES=6 restores HIGHEST for callers that want the 1e-7 path."""
+    ahi, alo = _split2(a)
+    bhi, blo = _split2(b)
+    acc = jax.lax.dot_general(ahi, bhi, dims,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(alo, bhi, dims,
+                               preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(ahi, blo, dims,
+                               preferred_element_type=jnp.float32)
+    return acc
+
+
+def _fused_small_kernel(PSC, ts, W8, nstep, passes, scale, unroll,
+                        base_ref, tiles_ref, f_ref, woff_ref, winv_ref,
+                        out_ref, s_ref, p2_ref):
+    """Fused dest-small: one chunk (PSC pseudo-blocks) per grid step.
+
+    Per pseudo-block: MXU contraction of the r-major tiles (8*ts, 128)
+    against the gathered field (NV, 128) into the (8*ts, NV) scratch, then
+    the sublane-slice + lane-concat fold to E3 lane order lands rows
+    [p*ts, (p+1)*ts) of the (C2, 8*NV) chunk scratch.  After the loop, ONE
+    one-hot band matmul (window offsets vs iota) accumulates the chunk
+    into the VMEM-resident E3 accumulator.  With ``scale`` the winvS
+    multiply fuses onto the last grid step."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    dims = (((1,), (1,)), ((), ()))
+
+    def body(p, _):
+        t = tiles_ref[p]                        # (8*ts, 128) rows r*ts+t
+        f = f_ref[p]                            # (NV, 128)
         if passes >= 6:
-            out_ref[b] = jax.lax.dot_general(
-                tiles_ref[b], f_ref[b], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HIGH)
+            s_ref[:] = jax.lax.dot_general(
+                t, f, dims, preferred_element_type=jnp.float32,
+                precision=HIGH)
         else:
-            t = tiles_ref[b]
-            f = f_ref[b]
-            thi = t.astype(jnp.bfloat16)
-            tlo = (t - thi.astype(jnp.float32)).astype(jnp.bfloat16)
-            fhi = f.astype(jnp.bfloat16)
-            flo = (f - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dims = (((1,), (1,)), ((), ()))
-            acc = jax.lax.dot_general(thi, fhi, dims,
-                                      preferred_element_type=jnp.float32)
-            acc += jax.lax.dot_general(tlo, fhi, dims,
-                                       preferred_element_type=jnp.float32)
-            acc += jax.lax.dot_general(thi, flo, dims,
-                                       preferred_element_type=jnp.float32)
-            out_ref[b] = acc
+            s_ref[:] = _dot3(t, f, dims)
+        # (8*ts, NV) rows r*ts+t -> (ts, 8*NV) lanes r*NV+v
+        fold = jnp.concatenate(
+            [s_ref[q * ts:(q + 1) * ts, :] for q in range(TILE_R)], axis=1)
+        p2_ref[pl.ds(p * ts, ts), :] = fold
+        return 0
+
+    # full unroll lets Mosaic software-pipeline the per-pseudo chain
+    # (fori_loop supports only unroll in {1, num_steps}); interpret mode
+    # keeps unroll=1 -- a 128x-unrolled jaxpr makes CPU tests crawl
+    jax.lax.fori_loop(0, PSC, body, 0, unroll=PSC if unroll else 1)
+
+    C2 = PSC * ts
+    woff = woff_ref[0:1, :]                     # (1, C2)
+    u = jax.lax.broadcasted_iota(jnp.int32, (W8, C2), 0)
+    band = _split3_dot(woff == u, p2_ref[:], (((1,), (0,)), ((), ())))
+    b8 = pl.multiple_of(base_ref[i], TILE_R)
+    out_ref[pl.ds(b8, W8), :] += band
+
+    if scale:
+        @pl.when(i == nstep - 1)
+        def _():
+            out_ref[:] = out_ref[:] * winv_ref[:]
 
 
 def _split3_dot(oh_bool, x, dims):
@@ -583,83 +625,50 @@ def _split3_dot(oh_bool, x, dims):
     return acc
 
 
-def _scatter_kernel(W8, G, nstep, scale, base_ref, p2_ref, woff_ref,
-                    winv_ref, out_ref):
-    """A2: one-hot band matmuls accumulating tile rows into E3 windows.
+def _fused_ice_kernel(PSC, ts, W8, sec_blocks, scale, unroll,
+                      base_ref, p2b_ref, si_ref, fl_ref,
+                      e3_ref, tiles_ref, woffT_ref, winv_ref,
+                      out_ref, fwin_ref, f_ref):
+    """Fused dest-ice: one chunk per grid step.
 
-    Each grid step loops over G chunks in-kernel (inputs land in one DMA;
-    no per-chunk grid-step overhead). Padded chunks have p2 == 0.  With
-    ``scale`` the winvS multiply is fused on the last step (saves the XLA
-    elementwise round trip over the E3 accumulator).
-    """
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    C2 = woff_ref.shape[1]
-    for g in range(G):
-        p2 = p2_ref[g * C2:(g + 1) * C2, :]         # (C2, 8*NV)
-        woff = woff_ref[g * TILE_R:g * TILE_R + 1, :]   # (1, C2)
-        u = jax.lax.broadcasted_iota(jnp.int32, (W8, C2), 0)
-        band = _split3_dot(woff == u, p2,
-                           (((1,), (0,)), ((), ())))  # (W8, 8*NV)
-        b8 = pl.multiple_of(base_ref[i * G + g], TILE_R)
-        out_ref[pl.ds(b8, W8), :] += band
-
-    if scale:
-        @pl.when(i == nstep - 1)
-        def _():
-            out_ref[:] = out_ref[:] * winv_ref[:]
-
-
-def _gather_kernel(W8, G, base_ref, e3_ref, woffT_ref, out_ref):
-    """B1: one-hot-transpose band matmuls, E3 windows → per-tile rows."""
-    i = pl.program_id(0)
-    C2 = woffT_ref.shape[0] // G
-    for g in range(G):
-        b8 = pl.multiple_of(base_ref[i * G + g], TILE_R)
-        band = e3_ref[pl.ds(b8, W8), :]             # (W8, 8*NV)
-        woffT = woffT_ref[g * C2:(g + 1) * C2, :]   # (C2, 1)
-        u = jax.lax.broadcasted_iota(jnp.int32, (C2, W8), 1)
-        out_ref[g * C2:(g + 1) * C2, :] = _split3_dot(
-            woffT == u, band, (((1,), (0,)), ((), ())))  # (C2, 8*NV)
-
-
-def _contract_kernel(B, fwin_ref, tiles_ref, out_ref):
-    """B2: per-pseudo-block contraction of window rows with tiles."""
-    for b in range(B):
-        out_ref[b] = jax.lax.dot_general(
-            fwin_ref[b], tiles_ref[b], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGH)
-
-
-def _contract_true_kernel(B, sec_blocks, scale, p2b_ref, si_ref, fl_ref,
-                          fwin_ref, tiles_ref, winv_ref, out_ref):
-    """B2': contraction + in-kernel segment-sum into TRUE ice blocks.
-
-    The accumulator is ONE SECTION of the true-block output at a time
+    The one-hot-transpose band matmul gathers E3 window rows into the
+    (C2, 8*NV) chunk scratch; each pseudo-block's rows are UNfolded (8
+    lane slices written as contiguous scratch rows, matching the r-major
+    tiles), contracted on the MXU, and RMW'd into the section accumulator
     ((sec_blocks, NV, 128), VMEM-resident; the out BlockSpec rides the
-    scalar-prefetched section index): each pseudo-block's (NV, 128)
-    contribution lands via a dynamic leading-index RMW; the section
-    zero-inits on entry (flag bit0) and weight-scales on exit (bit1).
-    Replaces the XLA segment_sum + out_ps HBM round trip, and keeps
-    working past the ~2k blocks where one global accumulator would spill
-    VMEM (Antarctica 5 km: 38 MB).
-    """
+    scalar-prefetched section index — zero-init on section entry (flag
+    bit0), weight scale on exit (bit1))."""
     i = pl.program_id(0)
 
     @pl.when((fl_ref[i] & 1) == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for b in range(B):
+    C2 = PSC * ts
+    b8 = pl.multiple_of(base_ref[i], TILE_R)
+    band = e3_ref[pl.ds(b8, W8), :]             # (W8, 8*NV)
+    woffT = woffT_ref[:]                        # (C2, 1)
+    u = jax.lax.broadcasted_iota(jnp.int32, (C2, W8), 1)
+    fwin_ref[:] = _split3_dot(woffT == u, band,
+                              (((1,), (0,)), ((), ())))  # (C2, 8*NV)
+
+    NV = fwin_ref.shape[1] // TILE_R
+
+    def body(p, _):
+        fw = fwin_ref[pl.ds(p * ts, ts), :]     # (ts, 8*NV) lanes r*NV+v
+        for q in range(TILE_R):                 # -> (8*ts, NV) rows r*ts+t
+            f_ref[q * ts:(q + 1) * ts, :] = fw[:, q * NV:(q + 1) * NV]
         val = jax.lax.dot_general(
-            fwin_ref[b], tiles_ref[b], (((0,), (0,)), ((), ())),
+            f_ref[:], tiles_ref[p], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH)
-        j = p2b_ref[i * B + b] - si_ref[i] * sec_blocks
+        j = p2b_ref[i * PSC + p] - si_ref[i] * sec_blocks
         out_ref[pl.ds(j, 1), :, :] += val[None]
+        return 0
+
+    # full unroll lets Mosaic software-pipeline the per-pseudo chain
+    # (fori_loop supports only unroll in {1, num_steps}); interpret mode
+    # keeps unroll=1 -- a 128x-unrolled jaxpr makes CPU tests crawl
+    jax.lax.fori_loop(0, PSC, body, 0, unroll=PSC if unroll else 1)
 
     if scale:
         @pl.when((fl_ref[i] & 2) == 2)
@@ -667,136 +676,78 @@ def _contract_true_kernel(B, sec_blocks, scale, p2b_ref, si_ref, fl_ref,
             out_ref[:] = out_ref[:] * winv_ref[:]
 
 
-def _mk_prods(pm: PallasBDT, interpret: bool, passes=None):
-    T8, NV, B = pm.ts * TILE_R, pm.NV, _blk_step(pm.npspad)
-    nstep = pm.npspad // B
-    return pl.pallas_call(
-        functools.partial(_prods_kernel, B, passes or PRODS_PASSES),
-        grid=(nstep,),
-        in_specs=[
-            pl.BlockSpec((B, T8, TILE_C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, NV, TILE_C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B, T8, NV), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pm.npspad, T8, NV), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * pm.tiles2.size * NV,
-            bytes_accessed=pm.tiles2.size * 4, transcendentals=0),
-    )
-
-
-def _mk_scatter(pm: PallasBDT, interpret: bool, scale: bool = False):
-    C2, NV, W8 = PS_CHUNK * pm.ts, pm.NV, pm.W8
-    G = min(CH_GROUP, pm.nchunkpad)
-    nstep = pm.nchunkpad // G
+def _mk_fused_small(pm: PallasBDT, interpret: bool, scale: bool = False,
+                    passes=None):
+    PSC, ts, NV, W8 = PS_CHUNK, pm.ts, pm.NV, pm.W8
+    C2 = PSC * ts
+    nstep = pm.nchunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nstep,),
         in_specs=[
-            pl.BlockSpec((G * C2, TILE_R * NV), lambda i, b: (i, 0),
+            pl.BlockSpec((PSC, TILE_R * ts, TILE_C),
+                         lambda i, b: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PSC, NV, TILE_C), lambda i, b: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * TILE_R, C2), lambda i, b: (i, 0),
+            pl.BlockSpec((TILE_R, C2), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE_R * ts, NV), jnp.float32),
+                        pltpu.VMEM((C2, TILE_R * NV), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, W8, G, nstep, scale),
+        functools.partial(_fused_small_kernel, PSC, ts, W8, nstep,
+                          passes or PRODS_PASSES, scale, not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pm.NWpad, TILE_R * NV), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * pm.nchunkpad * W8 * C2 * TILE_R * NV,
-            bytes_accessed=pm.nchunkpad * C2 * TILE_R * NV * 4,
-            transcendentals=0),
-    )
-
-
-def _mk_gather(pm: PallasBDT, interpret: bool):
-    C2, NV, W8 = PS_CHUNK * pm.ts, pm.NV, pm.W8
-    G = min(CH_GROUP, pm.nchunkpad)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(pm.nchunkpad // G,),
-        in_specs=[
-            pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G * C2, 1), lambda i, b: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((G * C2, TILE_R * NV), lambda i, b: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        functools.partial(_gather_kernel, W8, G), grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((pm.nchunkpad * C2, TILE_R * NV),
-                                       jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * pm.nchunkpad * W8 * C2 * TILE_R * NV,
-            bytes_accessed=pm.nchunkpad * C2 * TILE_R * NV * 4,
-            transcendentals=0),
-    )
-
-
-def _mk_contract(pm: PallasBDT, interpret: bool):
-    T8, NV, B = pm.ts * TILE_R, pm.NV, _blk_step(pm.npspad)
-    nstep = pm.npspad // B
-    return pl.pallas_call(
-        functools.partial(_contract_kernel, B),
-        grid=(nstep,),
-        in_specs=[
-            pl.BlockSpec((B, T8, NV), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, T8, TILE_C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((B, NV, TILE_C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pm.npspad, NV, TILE_C),
-                                       jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * pm.tiles2.size * NV,
+            flops=2 * pm.tiles2.size * NV
+            + 2 * pm.nchunk * W8 * C2 * TILE_R * NV,
             bytes_accessed=pm.tiles2.size * 4, transcendentals=0),
     )
 
 
-def _mk_contract_true(pm: PallasBDT, scale: bool, interpret: bool):
-    T8, NV, B = pm.ts * TILE_R, pm.NV, _blk_step(pm.npspad)
-    nstep = pm.npspad // B
+def _mk_fused_ice(pm: PallasBDT, interpret: bool, scale: bool = False):
+    PSC, ts, NV, W8 = PS_CHUNK, pm.ts, pm.NV, pm.W8
+    C2 = PSC * ts
+    nstep = pm.nchunk
     SEC = pm.sec_blocks
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nstep,),
         in_specs=[
-            pl.BlockSpec((B, T8, NV), lambda i, p2b, si, fl: (i, 0, 0),
+            pl.BlockSpec((pm.NWpad, TILE_R * NV),
+                         lambda i, b, p2, si, fl: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, T8, TILE_C), lambda i, p2b, si, fl: (i, 0, 0),
+            pl.BlockSpec((PSC, TILE_R * ts, TILE_C),
+                         lambda i, b, p2, si, fl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2, 1), lambda i, b, p2, si, fl: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SEC, 1, TILE_C),
-                         lambda i, p2b, si, fl: (si[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+                         lambda i, b, p2, si, fl: (si[i], 0, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((SEC, NV, TILE_C),
-                               lambda i, p2b, si, fl: (si[i], 0, 0),
+                               lambda i, b, p2, si, fl: (si[i], 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((C2, TILE_R * NV), jnp.float32),
+                        pltpu.VMEM((TILE_R * ts, NV), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_contract_true_kernel, B, SEC, scale),
+        functools.partial(_fused_ice_kernel, PSC, ts, W8, SEC, scale,
+                          not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pm.nblkpad, NV, TILE_C),
                                        jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * pm.tiles2.size * NV,
+            flops=2 * pm.tiles2.size * NV
+            + 2 * pm.nchunk * W8 * C2 * TILE_R * NV,
             bytes_accessed=pm.tiles2.size * 4, transcendentals=0),
     )
 
@@ -826,19 +777,14 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
     if interpret is None:
         interpret = _interpret_default()
     fbp = jnp.take(fb, pm.pseudo2blk, axis=0)       # pseudo-order gather
-    # with no overflow the winvS scale fuses into the scatter's last step;
+    # with no overflow the winvS scale fuses into the kernel's last step;
     # overflow entries must be added unscaled first, so the scale waits
     in_scale = scale and pm.ov_s is None
     # Mosaic rejects x64 grid indices; the kernels are all-f32/int32, so
     # trace them with x64 scoped off (callers may run a global-x64 ledger).
     with jax.enable_x64(False):
-        prods = _mk_prods(pm, interpret, passes)(pm.tiles2, fbp)
-        p2 = prods.reshape(pm.npspad * pm.ts, TILE_R * pm.NV)  # free
-        padrows = pm.nchunkpad * PS_CHUNK * pm.ts - pm.npspad * pm.ts
-        if padrows:
-            p2 = jnp.pad(p2, ((0, padrows), (0, 0)))
-        acc = _mk_scatter(pm, interpret, in_scale)(
-            pm.base, p2, pm.w_off, pm.winvS_e3)
+        acc = _mk_fused_small(pm, interpret, in_scale, passes)(
+            pm.base, pm.tiles2, fbp, pm.w_off, pm.winvS_e3)
     if in_scale:
         return acc
     if pm.ov_s is not None:
@@ -859,16 +805,13 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
     """dest-ice (IvE/IvA): E3 layout → blocked ice (nblkpad, NV, 128)."""
     if interpret is None:
         interpret = _interpret_default()
-    # B2' fuses the pseudo→true segment-sum and (overflow-free) the weight
-    # scale; with overflow present the scale must wait for the COO add.
+    # the fused kernel folds in the pseudo→true segment-sum and (overflow-
+    # free) the weight scale; with overflow the scale waits for the COO add
     in_scale = scale and pm.ov_s is None
     with jax.enable_x64(False):   # Mosaic rejects x64 grid indices
-        fwin = _mk_gather(pm, interpret)(pm.base, e3, pm.w_offT)
-        fwin = fwin[:pm.npspad * pm.ts]             # drop padded chunks
-        fwin3 = fwin.reshape(pm.npspad, pm.ts * TILE_R, pm.NV)  # free
-        out = _mk_contract_true(pm, in_scale, interpret)(
-            pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
-            fwin3, pm.tiles2, pm.winvI_blk)
+        out = _mk_fused_ice(pm, interpret, in_scale)(
+            pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
+            e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
     if in_scale:
         return out
     if pm.ov_s is not None:
@@ -929,22 +872,26 @@ def pallas_view_pair(M, small_axis: str = "rows", nv: int = 8, ts: int = TS):
     return fwd, PallasView(pm, transposed=not fwd.transposed)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "passes"))
 def apply_view(vw: PallasView, f, scale: bool = True, var_factor=None,
                var_offset=None, fill=jnp.nan,
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None,
+               passes: Optional[int] = None):
     """apply_bdt-compatible apply of a PallasView (drop-in for the coupler).
 
     ``fill`` lands on zero-weight destinations when scaling (the kernels
     produce 0 there); ``var_factor``/``var_offset`` are per-field affine
-    unit conversions fused on the output.
+    unit conversions fused on the output.  ``passes`` selects the
+    dest-small MXU accuracy (see ``_dot3``); dest-ice always runs HIGHEST.
     """
     single = f.ndim == 1
     fv = f[None, :] if single else f
     if vw.transposed:
         out = apply_ice(vw.pm, fv, scale=scale, interpret=interpret)
     else:
-        out = apply_small(vw.pm, fv, scale=scale, interpret=interpret)
+        out = apply_small(vw.pm, fv, scale=scale, interpret=interpret,
+                          passes=passes)
     if scale:
         out = jnp.where(vw.wM[None, :] != 0, out, fill)
     if var_factor is not None:

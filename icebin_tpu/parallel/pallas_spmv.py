@@ -175,21 +175,20 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     winvS_e3 = np.repeat(wvs.reshape(NWpad, TILE_R), nv,
                          axis=1).astype(np.float32)
 
-    from icebin_tpu.ops.pallas_bdt import _blk_step
+    from icebin_tpu.ops.pallas_bdt import PS_CHUNK
     stacks = {name: [] for name in PallasBDT._ARRAYS}
     for p in shards:
         stacks["tiles2"].append(_pad_to(p.tiles2, npspad))
         p2b = _pad_to(p.pseudo2blk, npspad)
         p2b[p.npspad:] = nblkpad - 1
         stacks["pseudo2blk"].append(p2b)
-        # per-B2'-step section metadata, REBUILT at the COMMON step size
-        # from the padded p2b (a shard packed at a different blk_step, or
-        # padded into extra trash sections, needs fresh step boundaries;
-        # section starts are PS_CHUNK-aligned so common steps never
-        # straddle).  Semantics match the pack: zero-init on first step of
-        # each section, scale on its last (trash steps add exact zeros).
-        bstep = _blk_step(npspad)
-        si = (p2b[::bstep] // p.sec_blocks).astype(np.int32)
+        # per-CHUNK section metadata, REBUILT at the COMMON npspad from the
+        # padded p2b (a shard padded into extra trash sections needs fresh
+        # step boundaries; section starts are PS_CHUNK-aligned so common
+        # chunks never straddle).  Semantics match the pack: zero-init on
+        # first chunk of each section, scale on its last (trash chunks add
+        # exact zeros).
+        si = (p2b[::PS_CHUNK] // p.sec_blocks).astype(np.int32)
         fl = np.zeros(len(si), np.int32)
         edge = si[1:] != si[:-1]
         firsts = np.ones(len(si), bool)
@@ -273,13 +272,14 @@ def _template_from_statics(statics: tuple) -> PallasBDT:
 # the coupling loop's regen cadence must not retrace/recompile (VERDICT
 # round-1 weakness #4: regen cost).
 @functools.lru_cache(maxsize=None)
-def _core_apply_small(mesh, statics, arr_names, interpret):
+def _core_apply_small(mesh, statics, arr_names, interpret, passes=None):
     t = _template_from_statics(statics)
 
     def body(fb, *arrs):
         pm = dataclasses.replace(
             t, **{n: a[0] for n, a in zip(arr_names, arrs)})
-        part = apply_small_blocked(pm, fb, scale=False, interpret=interpret)
+        part = apply_small_blocked(pm, fb, scale=False, interpret=interpret,
+                                   passes=passes)
         e3 = jax.lax.psum(part, ICE_AXIS)
         return e3 * pm.winvS_e3
 
@@ -307,7 +307,8 @@ def _core_apply_ice(mesh, statics, arr_names, interpret):
 
 
 def make_sharded_apply_small(mesh, spm: ShardedPallasBDT,
-                             interpret: Optional[bool] = None):
+                             interpret: Optional[bool] = None,
+                             passes: Optional[int] = None):
     """fn(fb_sharded (n*nblkpad, NV, 128)) → scaled E3 (replicated).
 
     Local Pallas tile stream + band scatter per device, ONE psum of the E3
@@ -316,7 +317,7 @@ def make_sharded_apply_small(mesh, spm: ShardedPallasBDT,
     arr_names = tuple(n for n in PallasBDT._ARRAYS
                       if spm.stacked[n] is not None)
     jitted = _core_apply_small(mesh, _statics_of(spm.template), arr_names,
-                               interpret)
+                               interpret, passes)
     # matrix arrays ride as ARGUMENTS, not closure constants: multi-host
     # jit forbids closing over arrays that span non-addressable devices
     return lambda fb: jitted(fb, *[spm.stacked[n] for n in arr_names])
@@ -345,14 +346,17 @@ class ShardedPallasView:
 
     def __init__(self, mesh, spm: ShardedPallasBDT, transposed: bool,
                  nice: int, wS64: np.ndarray, wI64: np.ndarray,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 passes: Optional[int] = None):
         self.mesh = mesh
         self.spm = spm
         self.transposed = transposed
         self.nice = nice
         self._wS64 = wS64
         self._wI64 = wI64
-        self._fn_small = make_sharded_apply_small(mesh, spm, interpret)
+        self._passes = passes
+        self._fn_small = make_sharded_apply_small(mesh, spm, interpret,
+                                                  passes)
         self._fn_ice = make_sharded_apply_ice(mesh, spm, interpret)
 
     @property
@@ -370,10 +374,21 @@ class ShardedPallasView:
                 else (t.nsmall, self.nice))
 
     def apply_coupler(self, f, scale: bool = True, var_factor=None,
-                      var_offset=None, fill=jnp.nan):
-        """apply_bdt/apply_view-compatible apply over the mesh."""
+                      var_offset=None, fill=jnp.nan,
+                      passes: Optional[int] = None):
+        """apply_bdt/apply_view-compatible apply over the mesh.
+
+        ``passes`` must match the view's construction-time accuracy mode
+        (the mesh engine bakes it into the cached shard_map core; the
+        coupler passes one cfg-constant value, so this only guards against
+        mixed use)."""
         if not scale:
             raise NotImplementedError("sharded coupler applies are scaled")
+        if passes is not None and passes != self._passes:
+            raise ValueError(
+                f"mesh view built with passes={self._passes}; per-call "
+                f"passes={passes} not supported — set CouplerConfig."
+                "prods_passes before construction")
         t = self.spm.template
         single = f.ndim == 1
         fv = f[None, :] if single else f
@@ -410,15 +425,17 @@ class ArgShardedView(ShardedPallasView):
 
     def __init__(self, mesh, spm_lite: ShardedPallasBDT, arr_names, arrs,
                  transposed: bool, nice: int, wS, wI,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 passes: Optional[int] = None):
         self.mesh = mesh
         self.spm = spm_lite
         self.transposed = transposed
         self.nice = nice
         self._wS64 = wS
         self._wI64 = wI
+        self._passes = passes
         statics = _statics_of(spm_lite.template)
-        fs = _core_apply_small(mesh, statics, arr_names, interpret)
+        fs = _core_apply_small(mesh, statics, arr_names, interpret, passes)
         fi = _core_apply_ice(mesh, statics, arr_names, interpret)
         self._fn_small = lambda fb: fs(fb, *arrs)
         self._fn_ice = lambda e3: fi(e3, *arrs)
@@ -426,7 +443,8 @@ class ArgShardedView(ShardedPallasView):
 
 def sharded_view_pair(mesh, M: WeightedMatrix, small_axis: str = "rows",
                       nv: int = 8, ts: Optional[int] = None,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None,
+                      passes: Optional[int] = None):
     """(forward_view, reverse_view) sharing one sharded tile set -- the
     mesh twin of ``ops.pallas_bdt.pallas_view_pair``.  Weights are exact
     f64 host sums (the coupler's ledger/repair measure)."""
@@ -442,8 +460,8 @@ def sharded_view_pair(mesh, M: WeightedMatrix, small_axis: str = "rows",
     wI64 = np.bincount(i, weights=M.vals, minlength=nice)
     fwd = ShardedPallasView(mesh, spm, transposed=(small_axis == "cols"),
                             nice=nice, wS64=wS64, wI64=wI64,
-                            interpret=interpret)
+                            interpret=interpret, passes=passes)
     rev = ShardedPallasView(mesh, spm, transposed=not fwd.transposed,
                             nice=nice, wS64=wS64, wI64=wI64,
-                            interpret=interpret)
+                            interpret=interpret, passes=passes)
     return fwd, rev

@@ -1,0 +1,79 @@
+"""Raw (unrepaired) Pallas apply accuracy contract (VERDICT r2 item #8).
+
+The default dest-small kernel runs a 3-pass split-bf16 MXU contraction
+(~4e-6 raw relative error); INTENSIVE fields (temperature) are NOT mass-
+repaired, so that error reaches the ice model.  These tests pin the bound
+and the ``CouplerConfig.prods_passes`` knob that restores ~1e-7
+(precision=HIGHEST) for accuracy-critical runs.
+"""
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler, \
+    IceSheetCoupler
+from icebin_tpu.ops.pallas_bdt import apply_small, pallas_from_weighted
+from icebin_tpu.regrid.matrices import RegridParams
+from tests.helpers import toy_elevmask, toy_regridder
+
+BOUND_3PASS = 1e-5      # documented contract: ~4e-6 measured on-chip
+BOUND_6PASS = 5e-7      # precision=HIGHEST: ~1e-7 measured on-chip
+
+
+def _setup():
+    gr = toy_regridder(nI=(96, 96))
+    elev = toy_elevmask(gr.sheets["toy"].specI)
+    rm = gr.regrid_matrices("toy", elev)
+    Me = rm.matrix("EvI", RegridParams(scale=True, correctA=True))
+    pm = pallas_from_weighted(Me, small_axis="rows", nv=8)
+    rng = np.random.default_rng(0)
+    # temperature-like intensive field: offset + small variation
+    f = 260.0 + rng.uniform(0.0, 30.0, Me.shape[1])
+    M = sp.coo_matrix((Me.vals, (Me.rows, Me.cols)), shape=Me.shape).tocsr()
+    wM = np.asarray(Me.wM)
+    ref = np.where(wM > 0, (M @ f) / np.where(wM > 0, wM, 1.0), 0.0)
+    return pm, Me, f, ref, wM
+
+
+def test_intensive_raw_error_bounds():
+    pm, Me, f, ref, wM = _setup()
+    fj = jnp.asarray(f, jnp.float32)
+    scale = np.abs(ref).max()
+    errs = {}
+    for passes, bound in ((3, BOUND_3PASS), (6, BOUND_6PASS)):
+        out = np.asarray(apply_small(pm, fj, scale=True, passes=passes),
+                         np.float64)
+        err = np.abs(np.where(wM > 0, out, 0.0) - ref).max() / scale
+        errs[passes] = err
+        assert err < bound, f"passes={passes}: raw error {err:.2e}"
+    # the 6-pass path is strictly tighter than the default
+    assert errs[6] < errs[3]
+
+
+def test_coupler_prods_passes_knob():
+    """CouplerConfig.prods_passes reaches the kernels: a 6-pass coupler
+    produces a (slightly) different ice->GCM elevation transport than the
+    default 3-pass one, and both couple cleanly.  The quantitative bounds
+    are pinned by test_intensive_raw_error_bounds; this guards the
+    plumbing (the knob silently not reaching the kernel would keep the
+    trajectories bit-identical)."""
+    outs = {}
+    for passes in (3, 6):
+        gr = toy_regridder(nI=(64, 64))
+        cfg = CouplerConfig(engine="pallas", prods_passes=passes,
+                            regen_every=1 << 30, repair=False)
+        sc = IceSheetCoupler(gr, "toy", cfg)
+        cp = GCMCoupler(gr, cfg, sheets={"toy": sc})
+        rng = np.random.default_rng(1)
+        fE = np.zeros((4, gr.nE))
+        fE[0] = 1e-6 * rng.uniform(0.5, 1.0, gr.nE)
+        fE[3] = rng.uniform(-30.0, -5.0, gr.nE)     # degC, cold (no melt)
+        r = cp.couple({"toy": jnp.asarray(fE, jnp.float32)})
+        out = np.asarray(r["toy"]["fE_out"][0], np.float64)   # elevation
+        assert np.isfinite(out).any()
+        outs[passes] = np.where(np.isfinite(out), out, 0.0)
+    # different MXU pass structure -> different rounding; identical
+    # results would mean the knob never reached the kernel
+    assert not np.array_equal(outs[3], outs[6])
+    scale = np.abs(outs[6]).max()
+    assert np.abs(outs[3] - outs[6]).max() / scale < BOUND_3PASS

@@ -1,6 +1,7 @@
-"""Per-kernel timing at Antarctica-5km scale (nblkpad ~ 9800: the B-side
-true-block VMEM accumulator is ~40 MB >> 16 MB VMEM -- expect the fused
-B2' to fall off a cliff and need a size-gated fallback)."""
+"""Per-kernel timing at Antarctica-5km scale on the round-3 FUSED kernels
+(one pallas_call per direction; see ops/pallas_bdt.py docstring for the
+design history -- the round-2 two-kernel path's HBM interchange stalled
+this sheet at ~0.43x Greenland GB/s)."""
 import time
 
 import jax
@@ -8,7 +9,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from icebin_tpu.ops import pallas_bdt as pb
-from icebin_tpu.ops.bdt import TILE_C, TILE_R
 
 N1, N2 = 8, 40
 
@@ -75,40 +75,23 @@ def main():
     rng = np.random.default_rng(0)
     fI = jnp.asarray(rng.uniform(0.5, 1.5, (pm.NV, pm.nice)), jnp.float32)
     fb = pm.ice_to_blocked(fI)
-    fbp = jnp.take(fb, pm.pseudo2blk, axis=0)
-    T8 = pm.ts * TILE_R
+    T8 = pm.ts * 8
     tb = pm.tiles2.size * 4
-    pbytes = pm.npspad * T8 * pm.NV * 4
-    acc_mb = pm.nblkpad * pm.NV * TILE_C * 4 / 2**20
+    acc_mb = pm.sec_blocks * pm.NV * 128 * 4 / 2**20
     print(f"npspad={pm.npspad} nchunk={pm.nchunk} W8={pm.W8} "
-          f"NWpad={pm.NWpad} nblkpad={pm.nblkpad} B2'-acc={acc_mb:.0f}MB",
+          f"NWpad={pm.NWpad} nblkpad={pm.nblkpad} sec-acc={acc_mb:.0f}MB",
           flush=True)
 
     e3 = pb.apply_small_blocked(pm, fb, scale=True)
     timeit("take fbp", lambda p, f: jnp.take(f, p.pseudo2blk, axis=0),
-           pm, carry=fb, bytes_=2 * pbytes * TILE_C // (T8))
-    timeit("A1 prods", lambda p, f: pb._mk_prods(p, False)(p.tiles2, f),
-           pm, carry=fbp, bytes_=tb + pbytes)
-    p2 = jnp.zeros((pm.nchunkpad * pb.PS_CHUNK * pm.ts, TILE_R * pm.NV),
-                   jnp.float32)
-    timeit("A2 scatter+scale",
-           lambda p, x: pb._mk_scatter(p, False, True)(
-               p.base, x, p.w_off, p.winvS_e3), pm, carry=p2, bytes_=pbytes)
-    timeit("B1 gather", lambda p, x: pb._mk_gather(p, False)(
-        p.base, x, p.w_offT), pm, carry=e3, bytes_=pbytes)
-    fwin3 = jnp.zeros((pm.npspad, T8, pm.NV), jnp.float32)
-    timeit("B2' fused (VMEM acc)",
-           lambda p, x: pb._mk_contract_true(p, True, False)(
-               p.pseudo2blk, x, p.tiles2, p.winvI_blk),
-           pm, carry=fwin3, bytes_=tb + pbytes)
-    timeit("B2 plain + XLA segsum",
-           lambda p, x: jax.ops.segment_sum(
-               pb._mk_contract(p, False)(x, p.tiles2), p.pseudo2blk,
-               num_segments=p.nblkpad) * p.winvI_blk,
-           pm, carry=fwin3, bytes_=tb + pbytes)
-    timeit("full dest-small", lambda p, f: pb.apply_small_blocked(p, f),
+           pm, carry=fb,
+           bytes_=(pm.nblkpad + pm.npspad) * pm.NV * 128 * 4)
+    timeit("fused dest-small", lambda p, f: pb.apply_small_blocked(p, f),
            pm, carry=fb, bytes_=pm.bytes_small)
-    timeit("full dest-ice", lambda p, x: pb.apply_ice_blocked(p, x),
+    timeit("fused dest-small 6-pass",
+           lambda p, f: pb.apply_small_blocked(p, f, passes=6),
+           pm, carry=fb, bytes_=pm.bytes_small)
+    timeit("fused dest-ice", lambda p, x: pb.apply_ice_blocked(p, x),
            pm, carry=e3, bytes_=pm.bytes_ice)
 
 
