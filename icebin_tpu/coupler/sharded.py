@@ -44,53 +44,102 @@ __all__ = ["MeshIceSheetCoupler"]
 class MeshIceSheetCoupler(IceSheetCoupler):
     """One ice sheet's coupling state, decomposed over a 1-D device mesh.
 
-    Layout contract: the ice lattice's y axis shards over ``mesh`` (the
-    long axis, SURVEY.md section 5.7), so ``ny % n_devices == 0`` and each
-    shard's flat cell range must tile the 128-wide Pallas blocks:
-    ``(ny // n) * nx % 128 == 0``.  A/E-space fields are replicated.
+    Layout: the ice lattice's y axis shards over ``mesh`` (the long axis,
+    SURVEY.md section 5.7); A/E-space fields are replicated.  RAGGED
+    (ny, n_devices) combinations are handled by padding the lattice to
+    ny_pad = n * ceil(ny/n) rows: pad rows replicate the last real row
+    (zero boundary flux -- trajectories match the single-device run), the
+    active-cell mask keeps them out of the mass books, and each shard's
+    cell range pads locally to whole 128-blocks (reference: PETSc DA
+    ragged decomposition [U]; VERDICT r2 item #5).  Only a mesh with more
+    devices than ceil-divided rows (every row already owned) is rejected.
     """
 
     def __init__(self, gr, sheet: str, cfg: CouplerConfig, mesh,
                  nv: int = 8, interpret: Optional[bool] = None, **kw):
         n = int(mesh.devices.size)
         specI = gr.sheets[sheet].specI
-        if specI.ny % n:
+        self.ny_l = -(-specI.ny // n)            # rows per shard
+        self.ny_pad = self.ny_l * n
+        if (n - 1) * self.ny_l >= specI.ny:
             raise ValueError(
-                f"ny={specI.ny} not divisible by {n} devices")
-        if (specI.ny // n) * specI.nx % TILE_C:
-            raise ValueError(
-                f"per-shard cells ({specI.ny // n}x{specI.nx}) must be a "
-                f"multiple of {TILE_C} for block-aligned sharding")
+                f"{n} devices leave some shard with no real rows of "
+                f"ny={specI.ny} (ny_l={self.ny_l}); use fewer devices")
+        self.ny_real = specI.ny
+        self.cells_per_shard = self.ny_l * specI.nx
+        self.nice_pad = self.ny_pad * specI.nx
         self.mesh = mesh
         self.nv = nv
         self.interpret = interpret
-        super().__init__(gr, sheet, cfg, **kw)
-        self.ice_step = make_sharded_ice_step(mesh)
+        import dataclasses as _dc2
+        ice_cfg = kw.pop("ice_cfg", None)
+        ice_state = kw.pop("ice_state", None)
+        if ice_cfg is None:
+            dx = float(np.diff(specI.xb).mean())
+            dy = float(np.diff(specI.yb).mean())
+            from icebin_tpu.models.ice_sheet import IceSheetConfig
+            ice_cfg = IceSheetConfig(nx=specI.nx, ny=specI.ny, dx=dx, dy=dy)
+        if ice_cfg.ny not in (specI.ny, self.ny_pad):
+            raise ValueError(f"ice_cfg.ny={ice_cfg.ny} != grid ny")
+        real_cfg = _dc2.replace(ice_cfg, ny=self.ny_real)
+        pad_cfg = _dc2.replace(ice_cfg, ny=self.ny_pad)
+        if ice_state is None:
+            from icebin_tpu.models.ice_sheet import init_state
+            ice_state = init_state(real_cfg)     # SAME initial state as
+        ice_state = self._pad_state(ice_state)   # the single-device run
+        super().__init__(gr, sheet, cfg, ice_cfg=pad_cfg,
+                         ice_state=ice_state, **kw)
+        if self.ny_pad != self.ny_real:
+            import jax.numpy as jnp
+            rows = np.arange(self.ny_pad)[:, None]
+            self._active_mask = jnp.asarray(
+                (rows < self.ny_real)
+                * np.ones((1, specI.nx)), jnp.float32)
+        self.ice_step = make_sharded_ice_step(mesh, ny_real=self.ny_real)
         self.place_state()
+
+    def _pad_state(self, state):
+        """Extend H/bed to ny_pad rows by replicating the last real row
+        (the zero-flux pad invariant the sharded step maintains)."""
+        import dataclasses as _dc2
+        import jax.numpy as jnp
+        pad = self.ny_pad - self.ny_real
+        if pad == 0:
+            return state
+        def ext(a):
+            a = jnp.asarray(a)
+            if a.shape[0] == self.ny_pad:
+                return a
+            return jnp.concatenate([a] + [a[-1:]] * pad, axis=0)
+        return _dc2.replace(state, H=ext(state.H), bed=ext(state.bed))
 
     @property
     def local_domains(self):
         """Per-device owned (y, x) lattice blocks -- the reference's
         per-rank ``ibmisc::Domain`` bookkeeping [U], here describing the
-        1-D y decomposition the matrices and ice state are sharded on."""
+        1-D y decomposition the matrices and ice state are sharded on
+        (REAL rows only: ragged trailing shards own fewer)."""
         from icebin_tpu.utils.indexing import Domain
         n = int(self.mesh.devices.size)
-        ny, nx = self.ice_cfg.ny, self.ice_cfg.nx
-        ny_l = ny // n
-        return [Domain(low=(d * ny_l, 0), high=((d + 1) * ny_l, nx))
+        nx = self.ice_cfg.nx
+        return [Domain(low=(d * self.ny_l, 0),
+                       high=(min((d + 1) * self.ny_l, self.ny_real), nx))
                 for d in range(n)]
 
     def elevmask(self) -> np.ndarray:
-        """Host elevmask for matrix regeneration.  The ice state is sharded
-        over the GLOBAL mesh; in a multi-controller run each process holds
-        only its shards, so the full mask is assembled with ONE
-        process_allgather (the reference's per-rank restart gather analog
-        [U]) instead of a direct fetch (which raises)."""
+        """Host elevmask for matrix regeneration (REAL rows only -- the
+        matrices live on the real grid; pad rows must not fabricate ice).
+        The ice state is sharded over the GLOBAL mesh; in a
+        multi-controller run each process holds only its shards, so the
+        full mask is assembled with ONE process_allgather (the reference's
+        per-rank restart gather analog [U]) instead of a direct fetch
+        (which raises)."""
         em = self.state.elevmask(self.cfg.min_thickness)
         if (isinstance(em, jax.Array) and not em.is_fully_addressable):
             from jax.experimental import multihost_utils
             em = multihost_utils.process_allgather(em, tiled=True)
-        return np.asarray(em)
+        em = np.asarray(em).reshape(self.ny_pad, self.ice_cfg.nx)
+        return em[:self.ny_real].reshape(-1)
 
     def place_state(self) -> None:
         """Shard H/bed over the ice (y) axis; scalars replicated."""
@@ -110,7 +159,9 @@ class MeshIceSheetCoupler(IceSheetCoupler):
             M = self.rm.matrix(name, self.cfg.params)
             fwd, rev = sharded_view_pair(self.mesh, M, small_axis="rows",
                                          nv=self.nv, interpret=self.interpret,
-                                         passes=self.cfg.prods_passes)
+                                         passes=self.cfg.prods_passes,
+                                         cells_per_shard=self.cells_per_shard,
+                                         nice_pad=self.nice_pad)
             self._mats[name] = fwd
             if share:
                 self._mats["Iv" + name[0]] = rev
@@ -119,7 +170,9 @@ class MeshIceSheetCoupler(IceSheetCoupler):
                 self._mats["Iv" + name[0]] = sharded_view_pair(
                     self.mesh, Mr, small_axis="cols", nv=self.nv,
                     interpret=self.interpret,
-                    passes=self.cfg.prods_passes)[0]
+                    passes=self.cfg.prods_passes,
+                    cells_per_shard=self.cells_per_shard,
+                    nice_pad=self.nice_pad)[0]
 
     def _window_fusible(self) -> bool:
         mats = (self.mat("IvE"), self.mat("EvI"), self.mat("AvI"))

@@ -36,14 +36,24 @@ __all__ = ["shard_coupled_setup", "make_sharded_step",
            "make_sharded_ice_step"]
 
 
-def make_sharded_ice_step(mesh):
-    """``models.ice_sheet.step``-compatible ice advance over the mesh.
+def make_sharded_ice_step(mesh, ny_real=None):
+    """``models.ice_sheet.step_coupled``-compatible ice advance over the
+    mesh.
 
-    Returns fn(cfg, state, smb_flux, dt) -> state with the SIA substeps
-    running in shard_map (1-D y decomposition, ppermute halo rings, pmax
-    CFL) -- the PISM/PETSc-DA ghost-update analog.  Drop-in for
-    ``IceSheetCoupler.ice_step`` so the PRODUCTION coupler (ledger, E1vE0,
-    regen cadence, writer) runs mesh-decomposed (VERDICT item #2).
+    Returns fn(cfg, state, smb_flux, tsurf, dt) -> (state, melt, calv)
+    with the SIA substeps running in shard_map (1-D y decomposition,
+    ppermute halo rings, pmax CFL) -- the PISM/PETSc-DA ghost-update
+    analog.  Drop-in for ``IceSheetCoupler.ice_step`` so the PRODUCTION
+    coupler (ledger, E1vE0, regen cadence, writer) runs mesh-decomposed.
+
+    ``ny_real``: RAGGED decomposition support (cfg.ny is the row-PADDED
+    lattice; only the first ny_real rows are physical).  The pad rows
+    hold a copy of the last real row, maintained after every substep: the
+    surface slope across the real/pad face is then EXACTLY zero, so the
+    boundary flux matches the single-device edge-replicated ghost
+    bit-for-bit, and pad-row melt/calving is masked out of the returned
+    fluxes (reference: PETSc DA ragged decomposition [U]; SURVEY.md
+    section 5.7).
     """
     import functools
     from icebin_tpu.models.ice_sheet import RHO_ICE as _RHO, IceSheetState
@@ -56,11 +66,18 @@ def make_sharded_ice_step(mesh):
                 ).astype(H.dtype)
         ts2 = (jnp.asarray(tsurf).reshape(cfg.ny, cfg.nx).astype(H.dtype)
                if has_ts else jnp.zeros_like(smb2))
+        ny_l = cfg.ny // n
 
         def local(Hl, bedl, smbl, tsl):
+            if ny_real is not None and ny_real != cfg.ny:
+                d = jax.lax.axis_index(ICE_AXIS)
+                r0 = jnp.clip(ny_real - d * ny_l, 0, ny_l)
+            else:
+                r0 = None
             return _sia_substeps_local(Hl, bedl, smbl,
                                        tsl if has_ts else None, dt, cfg,
-                                       cfg.dx, cfg.dy, cfg.n_substeps_max)
+                                       cfg.dx, cfg.dy, cfg.n_substeps_max,
+                                       rows_real=r0)
 
         sm = shard_map(local, mesh=mesh, in_specs=(P(ICE_AXIS),) * 4,
                        out_specs=(P(ICE_AXIS),) * 3, check_vma=False)
@@ -117,12 +134,26 @@ def shard_coupled_setup(mesh, ive: BDTMatrix, evi: BDTMatrix, state,
 
 
 def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
-                        n_substeps):
+                        n_substeps, rows_real=None):
     """Local SIA substepping with per-substep 1-row halo exchange, plus the
     shared ablation pass (melt + margin calving) on the SAME ghosted
     thickness the dynamics used -- sharded trajectories and returned-mass
-    fluxes are bit-identical to the single-device ``step_coupled``."""
+    fluxes are bit-identical to the single-device ``step_coupled``.
+
+    ``rows_real``: per-shard count of PHYSICAL rows (ragged decomposition);
+    trailing pad rows are re-replicated from the last real row after every
+    update so the real/pad boundary flux is exactly zero, and their
+    melt/calving never reaches the cumulative fluxes."""
     from icebin_tpu.models.ice_sheet import ablation_ghosted
+
+    if rows_real is not None:
+        live = (jax.lax.broadcasted_iota(jnp.int32, H.shape, 0)
+                < rows_real)
+
+    def _fix_pad(Hn):
+        """Copy the last real row into the pad rows (no-op when all real)."""
+        last = jnp.take(Hn, jnp.maximum(rows_real - 1, 0), axis=0)
+        return jnp.where(live, Hn, last[None, :])
 
     def substep(carry, _):
         Hl, t_done, melt_cum, calv_cum = carry
@@ -140,8 +171,13 @@ def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
         if tsurf is not None:
             Hn2, melt, calv = ablation_ghosted(Hg, Hn2, tsurf, cfg,
                                                dt_sub.astype(Hl.dtype))
+            if rows_real is not None:
+                melt = jnp.where(live, melt, 0.0)
+                calv = jnp.where(live, calv, 0.0)
             melt_cum = melt_cum + melt
             calv_cum = calv_cum + calv
+        if rows_real is not None:
+            Hn2 = _fix_pad(Hn2)
         return (Hn2, t_done + dt_sub, melt_cum, calv_cum), None
 
     z = jnp.zeros_like(H)

@@ -60,6 +60,15 @@ class ShardedPallasBDT:
     template: PallasBDT          # statics + global weights (arrays unused)
     n_shards: int
     blk_ranges: list             # [(blk0, blk1)) true-block range per shard
+    #: ice cells per shard (= blk-range width * 128 for block-aligned
+    #: partitions; an arbitrary value for RAGGED lattice-row partitions,
+    #: where each shard's cells pad LOCALLY to whole 128-blocks)
+    cells_per_shard: int = 0
+
+    def __post_init__(self):
+        if not self.cells_per_shard:
+            self.cells_per_shard = (self.blk_ranges[0][1]
+                                    - self.blk_ranges[0][0]) * TILE_C
 
     def local(self, arrs: dict) -> PallasBDT:
         """Rebuild the local PallasBDT inside a shard_map body."""
@@ -72,16 +81,16 @@ class ShardedPallasBDT:
         """(NV, nice) global ice field → (n*nblkpad, NV, 128) shard-blocked.
 
         Each shard's rows are its local blocked field (contiguous
-        equal-width column ranges, padded per shard to nblkpad blocks).
+        equal-width cell ranges, padded per shard to nblkpad blocks).
         """
         t = self.template
+        cps = self.cells_per_shard
         f = jnp.where(jnp.isfinite(f), f, 0.0).astype(jnp.float32)
-        bpd = self.blk_ranges[0][1] - self.blk_ranges[0][0]
-        full = self.n_shards * bpd * TILE_C
+        full = self.n_shards * cps
         f = jnp.pad(f, ((0, 0), (0, full - nice)))
-        f4 = f.reshape(t.NV, self.n_shards, bpd, TILE_C)
-        pad = t.nblkpad - bpd
-        f4 = jnp.pad(f4, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        f3 = f.reshape(t.NV, self.n_shards, cps)
+        f3 = jnp.pad(f3, ((0, 0), (0, 0), (0, t.nblkpad * TILE_C - cps)))
+        f4 = f3.reshape(t.NV, self.n_shards, t.nblkpad, TILE_C)
         return f4.transpose(1, 2, 0, 3).reshape(-1, t.NV, TILE_C)
 
     def ice_to_blocked_host(self, f: np.ndarray, nice: int) -> np.ndarray:
@@ -90,21 +99,23 @@ class ShardedPallasBDT:
         addressable devices and wraps them via ``distributed.global_field``).
         """
         t = self.template
+        cps = self.cells_per_shard
         f = np.where(np.isfinite(f), f, 0.0).astype(np.float32)
-        bpd = self.blk_ranges[0][1] - self.blk_ranges[0][0]
-        full = self.n_shards * bpd * TILE_C
+        full = self.n_shards * cps
         f = np.pad(f, ((0, 0), (0, full - nice)))
-        f4 = f.reshape(t.NV, self.n_shards, bpd, TILE_C)
-        f4 = np.pad(f4, ((0, 0), (0, 0), (0, t.nblkpad - bpd), (0, 0)))
+        f3 = f.reshape(t.NV, self.n_shards, cps)
+        f3 = np.pad(f3, ((0, 0), (0, 0), (0, t.nblkpad * TILE_C - cps)))
+        f4 = f3.reshape(t.NV, self.n_shards, t.nblkpad, TILE_C)
         return np.ascontiguousarray(
             f4.transpose(1, 2, 0, 3).reshape(-1, t.NV, TILE_C))
 
     def blocked_global_to_ice(self, fb, nice: int):
         """(n*nblkpad, NV, 128) shard-blocked → (NV, nice) global field."""
         t = self.template
-        bpd = self.blk_ranges[0][1] - self.blk_ranges[0][0]
+        cps = self.cells_per_shard
         f4 = fb.reshape(self.n_shards, t.nblkpad, t.NV, TILE_C)
-        f4 = f4[:, :bpd].transpose(2, 0, 1, 3)
+        f4 = f4.transpose(0, 2, 1, 3).reshape(self.n_shards, t.NV, -1)
+        f4 = f4[:, :, :cps].transpose(1, 0, 2)
         return f4.reshape(t.NV, -1)[:, :nice]
 
 
@@ -116,10 +127,20 @@ def _pad_to(a, n, axis=0):
 
 def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
                                  small_axis: str = "rows", nv: int = 8,
-                                 ts: Optional[int] = None
+                                 ts: Optional[int] = None,
+                                 cells_per_shard: Optional[int] = None
                                  ) -> ShardedPallasBDT:
     """Partition the ice axis into per-device column ranges and build one
-    padded PallasBDT per device."""
+    padded PallasBDT per device.
+
+    ``cells_per_shard`` overrides the default block-aligned equal split
+    with an ARBITRARY contiguous cell range per device (the RAGGED lattice
+    decomposition: shard d owns cells [d*cps, (d+1)*cps) of the -- possibly
+    row-padded -- lattice flat space; each shard's local column space pads
+    independently to whole 128-blocks, so no global alignment is needed).
+    Reference: PETSc DA handles ragged decompositions transparently [U];
+    SURVEY.md section 5.7.
+    """
     from icebin_tpu.ops.pallas_bdt import SEC_BLOCKS, TS
     ts = ts or TS
     n = int(mesh.devices.size)
@@ -129,10 +150,13 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     else:
         s, i, v = M.cols, M.rows, M.vals
         nice, nsmall = M.shape
-    # pad the block count to a device multiple (trailing shards may own
-    # fewer — or zero — true columns; their tiles are all-zero padding)
-    nblk = -(-(-(-nice // TILE_C)) // n) * n
-    bpd = nblk // n
+    if cells_per_shard is None:
+        # pad the block count to a device multiple (trailing shards may own
+        # fewer — or zero — true columns; their tiles are all-zero padding)
+        nblk = -(-(-(-nice // TILE_C)) // n) * n
+        cells_per_shard = (nblk // n) * TILE_C
+    cps = int(cells_per_shard)
+    bpd = -(-cps // TILE_C)
 
     # global small-space weights (per-shard builds see only partial sums)
     wS_glob = np.bincount(s, weights=v, minlength=nsmall)
@@ -140,14 +164,14 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     shards = []
     blk_ranges = []
     for d in range(n):
-        c0 = min(d * bpd * TILE_C, nice)
-        c1 = min((d + 1) * bpd * TILE_C, nice)
+        c0 = min(d * cps, nice)
+        c1 = min((d + 1) * cps, nice)
         blk_ranges.append((d * bpd, (d + 1) * bpd))
         sel = (i >= c0) & (i < c1)
         Msub = WeightedMatrix(rows=s[sel], cols=i[sel] - c0, vals=v[sel],
-                              shape=(nsmall, c1 - c0))
-        # COMMON section scheme across shards (equal bpd-block ranges), so
-        # the stacked sec_idx/sec_flags agree with the template statics
+                              shape=(nsmall, cps))
+        # COMMON section scheme across shards (equal cell ranges), so the
+        # stacked sec_idx/sec_flags agree with the template statics
         shards.append(pallas_from_weighted(
             Msub, small_axis="rows", nv=nv, ts=ts,
             sec_blocks=min(SEC_BLOCKS, -(-bpd // 8) * 8)))
@@ -251,6 +275,7 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
             stacked[name] = jax.make_array_from_callback(
                 stack.shape, sh, lambda idx, a=stack: a[idx])
     return ShardedPallasBDT(stacked=stacked, template=template,
+                            cells_per_shard=cps,
                             n_shards=n, blk_ranges=blk_ranges)
 
 
@@ -444,24 +469,32 @@ class ArgShardedView(ShardedPallasView):
 def sharded_view_pair(mesh, M: WeightedMatrix, small_axis: str = "rows",
                       nv: int = 8, ts: Optional[int] = None,
                       interpret: Optional[bool] = None,
-                      passes: Optional[int] = None):
+                      passes: Optional[int] = None,
+                      cells_per_shard: Optional[int] = None,
+                      nice_pad: Optional[int] = None):
     """(forward_view, reverse_view) sharing one sharded tile set -- the
     mesh twin of ``ops.pallas_bdt.pallas_view_pair``.  Weights are exact
-    f64 host sums (the coupler's ledger/repair measure)."""
+    f64 host sums (the coupler's ledger/repair measure).
+
+    ``cells_per_shard``/``nice_pad`` select a RAGGED lattice decomposition:
+    views then speak the row-PADDED lattice flat space (nice_pad cells;
+    weights zero on pad cells, so they never carry mass)."""
     spm = sharded_pallas_from_weighted(mesh, M, small_axis=small_axis,
-                                       nv=nv, ts=ts)
+                                       nv=nv, ts=ts,
+                                       cells_per_shard=cells_per_shard)
     if small_axis == "rows":
         s, i = M.rows, M.cols
         nsmall, nice = M.shape
     else:
         s, i = M.cols, M.rows
         nice, nsmall = M.shape
+    nice_out = nice_pad or nice
     wS64 = np.bincount(s, weights=M.vals, minlength=nsmall)
-    wI64 = np.bincount(i, weights=M.vals, minlength=nice)
+    wI64 = np.bincount(i, weights=M.vals, minlength=nice_out)
     fwd = ShardedPallasView(mesh, spm, transposed=(small_axis == "cols"),
-                            nice=nice, wS64=wS64, wI64=wI64,
+                            nice=nice_out, wS64=wS64, wI64=wI64,
                             interpret=interpret, passes=passes)
     rev = ShardedPallasView(mesh, spm, transposed=not fwd.transposed,
-                            nice=nice, wS64=wS64, wI64=wI64,
+                            nice=nice_out, wS64=wS64, wI64=wI64,
                             interpret=interpret, passes=passes)
     return fwd, rev

@@ -153,10 +153,16 @@ def test_mesh_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(e_ref[both], e_out[both])
 
 
-def test_layout_contract_raises():
-    gr = make_gr(n_ice=30)       # 30 rows not divisible by 8
-    with pytest.raises(ValueError, match="divisible"):
-        MeshIceSheetCoupler(gr, "toy", CouplerConfig(), make_mesh(8))
+def test_layout_contract():
+    """Non-divisible layouts are now ACCEPTED (ragged decomposition,
+    tests/test_ragged_mesh.py); only a mesh that would leave some device
+    with no real lattice rows is rejected."""
+    gr = make_gr(n_ice=30)       # 30 rows over 8 devices: ragged, fine
+    sc = MeshIceSheetCoupler(gr, "toy", CouplerConfig(), make_mesh(8))
+    assert sc.ny_pad == 32 and sc.ny_real == 30
+    gr2 = make_gr(n_ice=7)       # ceil(7/8)=1 -> shard 7 owns no real row
+    with pytest.raises(ValueError, match="no real rows"):
+        MeshIceSheetCoupler(gr2, "toy", CouplerConfig(), make_mesh(8))
 
 
 def test_mesh_ave_eva_runtime():
