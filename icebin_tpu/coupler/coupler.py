@@ -78,6 +78,12 @@ class CouplerConfig:
     #: temperature -- extensive fields are f64-mass-repaired regardless);
     #: 6 = precision=HIGHEST (~1e-7 raw) for accuracy-critical runs.
     prods_passes: Optional[int] = None
+    #: True = stepwise ``couple`` books its ledger row WITHOUT a
+    #: device->host sync (``Ledger.post_deferred``): JAX's async dispatch
+    #: lets a GCM-in-the-loop stepwise run overlap the relay/PCIe latency
+    #: across steps, and the account materializes in batches whenever the
+    #: ledger is read.  The books are identical; only fetch timing moves.
+    defer_ledger: bool = False
 
 
 class IceSheetCoupler:
@@ -402,14 +408,19 @@ class IceSheetCoupler:
         fI, fE_out, fA_out, new_state, stats = core(
             *mats, self.state, fE_in)
         self.state = new_state
-        # ONE batched device->host pull for the whole f64 account row (a
-        # per-scalar float() sync costs a full relay round trip on TPU)
-        stats = np.asarray(stats)
-        ledger.post(f"{self.sheet}.mass_in_E", stats[0])
-        ledger.post(f"{self.sheet}.mass_delivered_I", stats[1])
-        ledger.post(f"{self.sheet}.ice_mass", stats[2])
-        ledger.post(f"{self.sheet}.mass_returned_I", stats[3])
-        ledger.post(f"{self.sheet}.mass_residual", stats[4])
+        keys = (f"{self.sheet}.mass_in_E", f"{self.sheet}.mass_delivered_I",
+                f"{self.sheet}.ice_mass", f"{self.sheet}.mass_returned_I",
+                f"{self.sheet}.mass_residual")
+        if cfg.defer_ledger:
+            # no sync: the row materializes on Ledger.flush/to_rows; the
+            # host loop runs ahead of the device (async dispatch)
+            ledger.post_deferred(keys, stats)
+        else:
+            # ONE batched device->host pull for the whole f64 account row
+            # (a per-scalar float() sync costs a full relay round trip)
+            stats = np.asarray(stats)
+            for k, v in zip(keys, stats):
+                ledger.post(k, v)
 
         # 4. topo evolution: regenerate matrices + E1vE0 remap cadence.
         self.steps_since_regen += 1

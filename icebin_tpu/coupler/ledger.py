@@ -61,9 +61,17 @@ def repair_mass(out, wM, m_src):
 
 @dataclasses.dataclass
 class Ledger:
-    """Host-side f64 account book, one row per coupling step."""
+    """Host-side f64 account book, one row per coupling step.
+
+    ``post`` forces a device->host sync per value; a stepwise coupling
+    loop through a dispatch relay pays ~25 ms per sync, so the coupler's
+    low-latency mode books rows with ``post_deferred`` (the device array
+    is kept; JAX's async dispatch lets the host run ahead) and the books
+    materialize in batches on ``flush`` -- which every reader calls, so
+    the account is always complete when observed."""
 
     steps: List[Dict[str, float]] = dataclasses.field(default_factory=list)
+    _pending: List[tuple] = dataclasses.field(default_factory=list)
 
     def open_step(self, t: float) -> Dict[str, float]:
         row = {"t": float(t)}
@@ -73,9 +81,30 @@ class Ledger:
     def post(self, key: str, value) -> None:
         self.steps[-1][key] = float(value)
 
+    def post_deferred(self, keys, values) -> None:
+        """Book ``keys[i] = values[i]`` into the CURRENT row without
+        fetching: ``values`` stays a device array until ``flush``."""
+        self._pending.append((self.steps[-1], tuple(keys), values))
+
+    def flush(self) -> None:
+        import numpy as np
+        pending, self._pending = self._pending, []
+        if not pending:
+            return
+        # ONE device concatenate + ONE host fetch for the whole backlog
+        # (per-row fetches cost a full relay round trip each)
+        flat = np.asarray(jnp.concatenate(
+            [jnp.ravel(jnp.asarray(v)) for _, _, v in pending]))
+        off = 0
+        for row, keys, _ in pending:
+            for i, k in enumerate(keys):
+                row[k] = float(flat[off + i])
+            off += len(keys)
+
     def closure_error(self, inflow_keys, outflow_keys, store_key,
                       step: int = -1) -> float:
         """Relative closure of: store_new - store_old == in - out."""
+        self.flush()
         row = self.steps[step]
         prev = self.steps[step - 1] if len(self.steps) > 1 and step != 0 else None
         store_old = prev[store_key] if prev and store_key in prev else 0.0
@@ -87,4 +116,5 @@ class Ledger:
         return abs(lhs - rhs) / scale
 
     def to_rows(self):
+        self.flush()
         return list(self.steps)

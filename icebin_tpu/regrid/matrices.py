@@ -223,23 +223,34 @@ class RegridMatrices:
 
     def fhc(self) -> np.ndarray:
         """(nhc, nA) fraction of each A cell's (projected) area in each EC --
-        the ModelE ``fhc`` field (SURVEY.md section 2 TOPO pipeline)."""
-        w = self.ec_weights()
-        wA = np.zeros(self.nA)
-        np.add.at(wA, self.iA, self.o)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            f = w.reshape(self.nA, self.nhc).T / np.where(wA > 0, wA, 1.0)
-        return np.where(wA[None, :] > 0, f, 0.0)
+        the ModelE ``fhc`` field (SURVEY.md section 2 TOPO pipeline).
+        Memoized: the factory's exchange data is immutable, and the
+        stepwise coupler returns fhc EVERY step (it only changes at
+        matrix regeneration -- ~20 ms of host scatters otherwise)."""
+        if getattr(self, "_fhc_cache", None) is None:
+            w = self.ec_weights()
+            wA = np.zeros(self.nA)
+            np.add.at(wA, self.iA, self.o)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                f = (w.reshape(self.nA, self.nhc).T
+                     / np.where(wA > 0, wA, 1.0))
+            self._fhc_cache = np.where(wA[None, :] > 0, f, 0.0)
+        return self._fhc_cache
 
     def elevE(self) -> np.ndarray:
-        """(nhc, nA) mean ice elevation of each realized EC (ModelE elevE)."""
-        w = np.zeros(self.nE)
-        we = np.zeros(self.nE)
-        elev_x = self.elevmaskI[self.iI]
-        np.add.at(w, self.iE0, self.o * self.wE0)
-        np.add.at(w, self.iE1, self.o * self.wE1)
-        np.add.at(we, self.iE0, self.o * self.wE0 * elev_x)
-        np.add.at(we, self.iE1, self.o * self.wE1 * elev_x)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            e = we / np.where(w > 0, w, 1.0)
-        return np.where(w > 0, e, np.nan).reshape(self.nA, self.nhc).T
+        """(nhc, nA) mean ice elevation of each realized EC (ModelE elevE).
+        Memoized like ``fhc``."""
+        if getattr(self, "_elevE_cache", None) is None:
+            w = np.zeros(self.nE)
+            we = np.zeros(self.nE)
+            elev_x = self.elevmaskI[self.iI]
+            np.add.at(w, self.iE0, self.o * self.wE0)
+            np.add.at(w, self.iE1, self.o * self.wE1)
+            np.add.at(we, self.iE0, self.o * self.wE0 * elev_x)
+            np.add.at(we, self.iE1, self.o * self.wE1 * elev_x)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                e = we / np.where(w > 0, w, 1.0)
+            self._elevE_cache = np.where(w > 0, e,
+                                         np.nan).reshape(self.nA,
+                                                         self.nhc).T
+        return self._elevE_cache
