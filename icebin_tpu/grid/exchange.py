@@ -28,10 +28,11 @@ from typing import Optional
 
 import numpy as np
 
-from icebin_tpu.grid.spec import Grid, GridSpecXY
+from icebin_tpu.grid.spec import Grid, GridSpecLonLat, GridSpecXY
 
 __all__ = ["ExchangeGrid", "make_exchange_grid", "candidate_pairs",
-           "prepare_subject_polygons", "assemble_exchange_grid"]
+           "prepare_subject_polygons", "assemble_exchange_grid",
+           "make_exchange_grid_lonlat", "make_exchange_grid_xy"]
 
 
 @dataclasses.dataclass
@@ -162,11 +163,117 @@ def _clip_areas_numpy(polys, rects):
     return polygon_areas(rings), polygon_centroids(rings)
 
 
+def _compose_separable(rx, cx, wx, mx, ry, cy, wy, my, n1x, n2x,
+                       unit_scale: float = 1.0):
+    """Outer-product two 1-D overlap lists into exchange cells.
+
+    Axis-1 = the A side, axis-2 = the I side; flat index = iy*nx + ix on
+    both grids.  Returns (iA, iI, area, centroid) with EXACT (product of
+    exact 1-D overlaps) areas -- the separable twin of the polygon clipper,
+    conservative by construction (reference: the HNTR overlap matrices,
+    Gary Russell's Fortran [U modele/hntr]).
+    """
+    nx_nnz, ny_nnz = len(rx), len(ry)
+    iA = (np.repeat(ry, nx_nnz) * n1x + np.tile(rx, ny_nnz)).astype(np.int64)
+    iI = (np.repeat(cy, nx_nnz) * n2x + np.tile(cx, ny_nnz)).astype(np.int64)
+    area = np.repeat(wy, nx_nnz) * np.tile(wx, ny_nnz) * unit_scale
+    cent = np.stack([np.tile(mx, ny_nnz), np.repeat(my, nx_nnz)], axis=-1)
+    return iA, iI, area, cent
+
+
+def _apply_masks(iA, iI, area, cent, maskA, maskI):
+    sel = np.ones(len(iA), dtype=bool)
+    if maskA is not None:
+        sel &= np.asarray(maskA, dtype=bool).reshape(-1)[iA]
+    if maskI is not None:
+        sel &= np.asarray(maskI, dtype=bool).reshape(-1)[iI]
+    if sel.all():
+        return iA, iI, area, cent
+    return iA[sel], iI[sel], area[sel], cent[sel]
+
+
+def make_exchange_grid_lonlat(specA: GridSpecLonLat, specI: GridSpecLonLat,
+                              repair: bool = True,
+                              min_area_frac: float = 1e-13,
+                              coverage_tol: float = 1e-3,
+                              maskA=None, maskI=None) -> ExchangeGrid:
+    """EXACT exchange grid between two lat-lon grids (separable sphere
+    measure: lon overlaps x sin-lat overlaps x eq_rad^2 -- no polygon
+    clipping, no repair needed for interior cells).  Areas are spherical
+    [m^2], matching ``GridSpecLonLat.cell_areas`` (reference: the
+    ``overlap`` CLI accepts two lat-lon grids [U GridGen_Exchange]; the
+    separable path is the Hntr overlap in exchange-grid form)."""
+    from icebin_tpu.regrid.hntr import overlap_1d
+    if abs(specA.eq_rad - specI.eq_rad) > 1e-6 * specI.eq_rad:
+        raise ValueError("lat-lon grids with different eq_rad")
+    fullA = np.isclose(specA.lonb[-1] - specA.lonb[0], 360.0)
+    fullI = np.isclose(specI.lonb[-1] - specI.lonb[0], 360.0)
+    if fullA and fullI:
+        rx, cx, wx, mx = overlap_1d(specA.lonb, specI.lonb, period=360.0,
+                                    return_mid=True)
+    else:
+        # regional: bring I's longitudes into A's branch of the circle
+        midA = 0.5 * (specA.lonb[0] + specA.lonb[-1])
+        midI = 0.5 * (specI.lonb[0] + specI.lonb[-1])
+        sh = 360.0 * np.round((midA - midI) / 360.0)
+        rx, cx, wx, mx = overlap_1d(specA.lonb, specI.lonb + sh,
+                                    return_mid=True)
+    sA = np.sin(np.radians(specA.latb))
+    sI = np.sin(np.radians(specI.latb))
+    ry, cy, wy, my = overlap_1d(sA, sI, return_mid=True)
+    iA, iI, area, cent = _compose_separable(
+        rx, cx, np.radians(wx), mx, ry, cy, wy, my,
+        specA.nlon, specI.nlon, unit_scale=specI.eq_rad ** 2)
+    cent[:, 1] = np.degrees(np.arcsin(np.clip(cent[:, 1], -1.0, 1.0)))
+    iA, iI, area, cent = _apply_masks(iA, iI, area, cent, maskA, maskI)
+    return assemble_exchange_grid(iA, iI, area, cent, specA, specI,
+                                  specI.cell_areas(), repair=repair,
+                                  min_area_frac=min_area_frac,
+                                  coverage_tol=coverage_tol)
+
+
+def make_exchange_grid_xy(specA: GridSpecXY, specI: GridSpecXY,
+                          repair: bool = True,
+                          min_area_frac: float = 1e-13,
+                          coverage_tol: float = 1e-3,
+                          maskA=None, maskI=None) -> ExchangeGrid:
+    """EXACT exchange grid between two Cartesian grids in the SAME
+    projection plane (ice-to-ice regridding, e.g. PISM 20 km <-> 5 km):
+    separable rectangle overlaps, conservative by construction
+    (reference: ``overlap`` on two XY grids [U GridGen_Exchange])."""
+    from icebin_tpu.regrid.hntr import overlap_1d
+    pA, pI = specA.projection, specI.projection
+    if (pA is None) != (pI is None) or (
+            pA is not None and pA.to_proj4() != pI.to_proj4()):
+        raise ValueError(
+            "XY x XY exchange needs both grids in the SAME projection "
+            f"plane (got {pA and pA.to_proj4()!r} vs "
+            f"{pI and pI.to_proj4()!r}); reproject one grid first")
+    rx, cx, wx, mx = overlap_1d(specA.xb, specI.xb, return_mid=True)
+    ry, cy, wy, my = overlap_1d(specA.yb, specI.yb, return_mid=True)
+    iA, iI, area, cent = _compose_separable(rx, cx, wx, mx, ry, cy, wy, my,
+                                            specA.nx, specI.nx)
+    iA, iI, area, cent = _apply_masks(iA, iI, area, cent, maskA, maskI)
+    return assemble_exchange_grid(iA, iI, area, cent, specA, specI,
+                                  specI.cell_areas(), repair=repair,
+                                  min_area_frac=min_area_frac,
+                                  coverage_tol=coverage_tol)
+
+
 def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
                        repair: bool = True, chunk: int = 1 << 18,
                        min_area_frac: float = 1e-13,
                        coverage_tol: float = 1e-3) -> ExchangeGrid:
-    """Build the exchange grid between a lat-lon GCM grid and an XY ice grid.
+    """Build the exchange grid between any supported grid pair.
+
+    Dispatch (reference: ``overlap`` intersects any two Grids [U]):
+
+    * lat-lon (or generic-polygon) A x XY I: the batched Sutherland--
+      Hodgman clipper below (the north-star geometric path);
+    * lat-lon x lat-lon: the EXACT separable sphere-measure path
+      (``make_exchange_grid_lonlat``);
+    * XY x XY (same projection plane): the EXACT separable rectangle
+      path (``make_exchange_grid_xy``).
 
     engine: 'auto' (native C++ if built, else numpy), 'numpy' (f64 oracle),
     'native' (C++ OpenMP host engine), 'jax' (XLA, vmapped), or 'pallas'
@@ -179,8 +286,20 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
     specI = gridI.spec if isinstance(gridI, Grid) else gridI
     maskI = gridI.mask if isinstance(gridI, Grid) else None
     maskA = gridA.mask if isinstance(gridA, Grid) else None
+    if isinstance(specI, GridSpecLonLat) and isinstance(specA,
+                                                        GridSpecLonLat):
+        return make_exchange_grid_lonlat(specA, specI, repair=repair,
+                                         min_area_frac=min_area_frac,
+                                         coverage_tol=coverage_tol,
+                                         maskA=maskA, maskI=maskI)
+    if isinstance(specI, GridSpecXY) and isinstance(specA, GridSpecXY):
+        return make_exchange_grid_xy(specA, specI, repair=repair,
+                                     min_area_frac=min_area_frac,
+                                     coverage_tol=coverage_tol,
+                                     maskA=maskA, maskI=maskI)
     if not isinstance(specI, GridSpecXY):
-        raise TypeError("gridI must be an XY (projected Cartesian) grid")
+        raise TypeError("gridI must be an XY (projected Cartesian) or "
+                        "lat-lon grid")
 
     polysA, keepA = prepare_subject_polygons(specA, specI, subdiv=subdiv)
     if maskA is not None:

@@ -32,7 +32,8 @@ import numpy as np
 from icebin_tpu.utils.indexing import Indexing
 from icebin_tpu.grid.proj import EQ_RAD, Projection, from_proj4
 
-__all__ = ["GridSpecLonLat", "GridSpecXY", "Grid", "modele_lonlat_grid"]
+__all__ = ["GridSpecLonLat", "GridSpecXY", "GridSpecGeneric", "Grid",
+           "modele_lonlat_grid"]
 
 
 def _as_f64(a):
@@ -213,6 +214,49 @@ class GridSpecXY:
         c = self.cell_centers()
         lon, lat = self.projection.xy2ll(c[:, 0], c[:, 1])
         return np.stack([np.asarray(lon), np.asarray(lat)], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpecGeneric:
+    """Arbitrary-polygon grid: explicit per-cell vertex rings.
+
+    Reference equivalent: ``GridSpec_Generic`` [U] -- the reference's
+    ``overlap`` intersects any two ``Grid``s, including hand-built polygon
+    soups (unstructured meshes, basin outlines).  Here a generic grid is
+    the SUBJECT side of the exchange-grid clipper: its (convex) polygons
+    are clipped against a lattice grid's cells exactly like lat-lon cell
+    polygons are.
+
+    polygons: (ncells, V, 2) vertex coordinates, lon/lat DEGREES (they are
+    projected into the ice plane by ``prepare_subject_polygons``); rings
+    with fewer than V vertices repeat their last vertex (degenerate edges
+    are no-ops in the Sutherland--Hodgman clip).
+    """
+
+    polygons: np.ndarray
+    name: str = "generic"
+
+    def __post_init__(self):
+        p = np.asarray(self.polygons, dtype=np.float64)
+        if p.ndim != 3 or p.shape[2] != 2 or p.shape[1] < 3:
+            raise ValueError("polygons must be (ncells, V>=3, 2)")
+        object.__setattr__(self, "polygons", p)
+
+    @property
+    def ncells(self) -> int:
+        return self.polygons.shape[0]
+
+    @property
+    def indexing(self) -> Indexing:
+        return Indexing.f_order((self.ncells,), names=("cell",))
+
+    def cell_polygons(self, subdiv: int = 1) -> np.ndarray:
+        """Explicit rings; ``subdiv`` is ignored (edges are already
+        straight lines in whatever plane they were authored for)."""
+        return self.polygons
+
+    def cell_centers(self) -> np.ndarray:
+        return self.polygons.mean(axis=1)
 
 
 @dataclasses.dataclass(frozen=True)

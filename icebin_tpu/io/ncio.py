@@ -21,7 +21,8 @@ from scipy.io import netcdf_file
 
 from icebin_tpu.grid.exchange import ExchangeGrid
 from icebin_tpu.grid.proj import from_proj4
-from icebin_tpu.grid.spec import Grid, GridSpecLonLat, GridSpecXY
+from icebin_tpu.grid.spec import (Grid, GridSpecGeneric, GridSpecLonLat,
+                                  GridSpecXY)
 from icebin_tpu.regrid.gcmregridder import GCMRegridder, IceSheet
 from icebin_tpu.regrid.sparse import WeightedMatrix
 
@@ -66,6 +67,12 @@ def write_grid(path: str, grid, name: str = "grid") -> None:
             nc.projection = spec.projection.to_proj4()
             _put(nc, f"{name}.xb", (f"{name}.nxb",), spec.xb)
             _put(nc, f"{name}.yb", (f"{name}.nyb",), spec.yb)
+        elif isinstance(spec, GridSpecGeneric):
+            nc.grid_type = "generic"
+            nc.grid_name = spec.name
+            _put(nc, f"{name}.polygons",
+                 (f"{name}.ncells", f"{name}.nvert", f"{name}.xy"),
+                 spec.polygons)
         else:
             raise TypeError(f"cannot serialize {type(spec)}")
         if mask is not None:
@@ -91,6 +98,9 @@ def read_grid(path: str, name: str = "grid") -> Grid:
             spec = GridSpecXY(xb=_get(nc, f"{name}.xb"),
                               yb=_get(nc, f"{name}.yb"),
                               projection=from_proj4(proj), name=gname)
+        elif gtype == "generic":
+            spec = GridSpecGeneric(polygons=_get(nc, f"{name}.polygons"),
+                                   name=gname)
         else:
             raise ValueError(f"unknown grid_type {gtype!r}")
         mask = None

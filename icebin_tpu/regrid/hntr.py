@@ -28,11 +28,12 @@ from icebin_tpu.regrid.sparse import WeightedMatrix
 __all__ = ["overlap_1d", "hntr_matrix", "Hntr", "hntr_spec"]
 
 
-def overlap_1d(borders1, borders2, period=None):
+def overlap_1d(borders1, borders2, period=None, return_mid=False):
     """Sparse interval overlaps: rows (n1), cols (n2), overlap lengths.
 
     period: if given (e.g. 360 for lon), intervals wrap; borders must each
-    span exactly one period.
+    span exactly one period.  ``return_mid``: also return each overlap
+    interval's midpoint IN BORDERS1 COORDINATES (exchange-grid centroids).
 
     O(n1 log n2 + nnz) sorted-merge (searchsorted window per interval), so
     1-minute global base grids (n ~ 21600) cost ~nnz, not a dense n1 x n2
@@ -49,7 +50,7 @@ def overlap_1d(borders1, borders2, period=None):
     tol = 1e-14 * max(abs(b1[-1] - b1[0]), 1.0)
     n1, n2 = len(b1) - 1, len(b2) - 1
     idx1 = np.arange(n1)
-    rows, cols, vals = [], [], []
+    rows, cols, vals, mids = [], [], [], []
     for sh in shifts:
         s2 = b2 + sh
         # candidate col window for row i: all j with s2[j] < b1[i+1] and
@@ -61,12 +62,19 @@ def overlap_1d(borders1, borders2, period=None):
         starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
         c = (np.arange(cnt.sum()) - np.repeat(starts, cnt)
              + np.repeat(lo, cnt))
-        ov = np.minimum(b1[r + 1], s2[c + 1]) - np.maximum(b1[r], s2[c])
+        a = np.maximum(b1[r], s2[c])
+        b = np.minimum(b1[r + 1], s2[c + 1])
+        ov = b - a
         keep = ov > tol
         rows.append(r[keep])
         cols.append(c[keep])
         vals.append(ov[keep])
-    return (np.concatenate(rows), np.concatenate(cols), np.concatenate(vals))
+        if return_mid:
+            mids.append(0.5 * (a[keep] + b[keep]))
+    out = (np.concatenate(rows), np.concatenate(cols), np.concatenate(vals))
+    if return_mid:
+        return out + (np.concatenate(mids),)
+    return out
 
 
 def hntr_matrix(specB: GridSpecLonLat, specA: GridSpecLonLat) -> WeightedMatrix:
