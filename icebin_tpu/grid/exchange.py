@@ -314,7 +314,7 @@ def make_exchange_grid(gridA, gridI, subdiv: int = 2, engine: str = "auto",
         # (~86 M pairs/s); host fallbacks: C++ OpenMP, then the f64 oracle.
         import jax
         from icebin_tpu.ops import native
-        from icebin_tpu.ops.pallas_clip import V0 as _KV0
+        from icebin_tpu.ops.pallas_clip import V0_MAX as _KV0
         n_vert = polysA.shape[1]
         if jax.default_backend() == "tpu" and n_vert <= _KV0:
             engine = "pallas"

@@ -113,14 +113,15 @@ def make_clip_engine(engine: str = "jax", dtype=None):
         Bp = max(8, _next_pow2(B))
         if engine == "pallas":
             Bp = max(128, Bp)  # kernel tiles are 128 pairs wide
-            from icebin_tpu.ops.pallas_clip import V0 as KV0
-            if subj.shape[1] < KV0:   # duplicate-pad vertices to kernel V0
-                pad = np.repeat(subj[:, -1:, :], KV0 - subj.shape[1], axis=1)
+            from icebin_tpu.ops.pallas_clip import V0 as KV0, V0_MAX
+            kv = KV0 if subj.shape[1] <= KV0 else V0_MAX
+            if subj.shape[1] > V0_MAX:
+                raise ValueError(f"pallas engine supports <= {V0_MAX} "
+                                 f"subject vertices (got {subj.shape[1]}); "
+                                 f"use subdiv<=4 or engine='jax'")
+            if subj.shape[1] < kv:    # duplicate-pad vertices to kernel v0
+                pad = np.repeat(subj[:, -1:, :], kv - subj.shape[1], axis=1)
                 subj = np.concatenate([subj, pad], axis=1)
-            elif subj.shape[1] > KV0:
-                raise ValueError(f"pallas engine supports <= {KV0} subject "
-                                 f"vertices (got {subj.shape[1]}); use "
-                                 f"subdiv<=2 or engine='jax'")
         if Bp != B:
             subj = np.concatenate(
                 [subj, np.zeros((Bp - B,) + subj.shape[1:], subj.dtype)])

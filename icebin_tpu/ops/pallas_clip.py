@@ -25,10 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["clip_areas_centroids_pallas", "PAIRS_PER_TILE", "V0"]
+__all__ = ["clip_areas_centroids_pallas", "PAIRS_PER_TILE", "V0", "V0_MAX"]
 
 PAIRS_PER_TILE = 128
-V0 = 8          # subject vertex slots (subdiv<=2 lat-lon cells)
+V0 = 8          # default subject vertex slots (subdiv<=2 lat-lon cells)
+V0_MAX = 16     # largest supported slot count (subdiv=4; buffers end at
+                # 16*V0 sublanes after the 4 half-plane passes: 256 rows
+                # x 128 lanes f32 = 128 KB per tile, comfortably VMEM)
 
 
 def _row_iota(v):
@@ -116,15 +119,20 @@ def _clip_kernel(x_ref, y_ref, hx_ref, hy_ref, area_ref, cx_ref, cy_ref):
 def clip_areas_centroids_pallas(polys, rects):
     """Drop-in replacement for ``ops.clip.clip_areas_centroids``.
 
-    polys: (B, V0, 2) recentered subject rings (duplicate padding);
+    polys: (B, v0, 2) recentered subject rings (duplicate padding),
+    v0 in {8, 16} -- the kernel body is shape-generic, the buffers just
+    double per half-plane pass from whatever v0 it starts at;
     rects: (B, 4) recentered rects (so x0 = -x1, y0 = -y1).
     B must be a multiple of 128 (the engine wrapper pads).
     Returns (areas (B,), centroids (B, 2)).
     """
     B = polys.shape[0]
-    if polys.shape[1] != V0:
-        raise ValueError(f"pallas clip kernel is specialized to V0={V0}")
-    xs = polys[:, :, 0].T.astype(jnp.float32)       # (V0, B)
+    v0 = polys.shape[1]
+    if v0 not in (V0, V0_MAX):
+        raise ValueError(f"pallas clip kernel supports v0 in "
+                         f"{{{V0}, {V0_MAX}}} (got {v0}); the engine "
+                         "wrapper duplicate-pads to the next size")
+    xs = polys[:, :, 0].T.astype(jnp.float32)       # (v0, B)
     ys = polys[:, :, 1].T.astype(jnp.float32)
     hx = (0.5 * (rects[:, 2] - rects[:, 0]))[None, :].astype(jnp.float32)
     hy = (0.5 * (rects[:, 3] - rects[:, 1]))[None, :].astype(jnp.float32)
@@ -136,7 +144,7 @@ def clip_areas_centroids_pallas(polys, rects):
     area, cx, cy = pl.pallas_call(
         _clip_kernel,
         grid=grid,
-        in_specs=[vspec(V0), vspec(V0), vspec(1), vspec(1)],
+        in_specs=[vspec(v0), vspec(v0), vspec(1), vspec(1)],
         out_specs=(vspec(1), vspec(1), vspec(1)),
         out_shape=(jax.ShapeDtypeStruct((1, B), jnp.float32),
                    jax.ShapeDtypeStruct((1, B), jnp.float32),
