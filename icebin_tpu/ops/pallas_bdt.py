@@ -211,6 +211,7 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS,
     no windows were demoted to its COO overflow (``pallas_from_weighted``
     does this); any overflow it does carry is passed through.
     """
+    _ensure_tuned()
     tiles = np.asarray(bm.tiles, np.float32)          # (nblk, T, 8, 128)
     row_start = np.asarray(bm.row_start, np.int64)
     nblk, T = row_start.shape
@@ -473,6 +474,19 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
         nsmall=int(nsmall), nice=int(nice), sec_blocks=sec_blocks)
 
 
+_TUNED = False
+
+
+def _ensure_tuned():
+    """Install the attached chip's tunables table once (ops.tuning) --
+    lazily, so importing this module never initializes a backend."""
+    global _TUNED
+    if not _TUNED:
+        from icebin_tpu.ops.tuning import apply_tunables
+        apply_tunables()
+        _TUNED = True
+
+
 def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
                          ts: int = TS, max_tiles_per_block=None,
                          sec_blocks=None) -> PallasBDT:
@@ -490,6 +504,7 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
     path (its per-block cap demotes excess windows to COO -- kept as a test
     hook for the overflow epilogue); the default direct packer has no cap.
     """
+    _ensure_tuned()
     if max_tiles_per_block is not None:
         from icebin_tpu.ops.bdt import bdt_from_weighted
         bm = bdt_from_weighted(M, small_axis=small_axis,

@@ -1,0 +1,79 @@
+"""Per-device-kind kernel tunables (VERDICT r2 item #9: v5p readiness).
+
+The fused BDT kernels (``ops.pallas_bdt``) have three load-bearing
+tunables; the right values depend on the chip's VMEM size and HBM/MXU
+balance, so they are selected by ``jax.devices()[0].device_kind`` from the
+table below.  ``tools/autotune.py`` re-runs the sweep on any attached chip
+and prints a table entry to add here.
+
+Tunables and their VMEM budgets (f32 bytes; NV=8, TS=4 throughout):
+
+  ps_chunk    pseudo-blocks per fused grid step.  Per-step working set =
+              tiles (ps_chunk * 16 KB, double-buffered) + gathered field
+              (ps_chunk * 4 KB) + chunk scratch (ps_chunk*TS * 256 B).
+              ps_chunk=128: ~4.7 MB.  Larger chunks amortize grid-step
+              overheads but narrow the W8 window-band less.
+  sec_blocks  true-ice blocks per dest-ice accumulator section
+              (sec_blocks * 4 KB resident: 1024 -> 4 MB).  The E3
+              accumulator (NWpad * 512 B) and a winv section share VMEM
+              with it; one global accumulator stops fitting past ~2k
+              blocks.
+  w8_cap      max window slots per chunk band (w8_cap * 512 B operand in
+              the band matmul).  Caps pathological polar chunks; tiles
+              beyond it demote to the COO overflow epilogue.
+
+Measured on v5e (16 MB VMEM, 819 GB/s HBM): ps_chunk sweep at config #3
+{64: 205 us, 128: 185 us, 256: 227 us} round trip -> 128; Antarctica-scale
+sec_blocks {512, 1024, 2048} flat within noise -> 1024 (4 MB, leaves
+headroom for NWpad up to ~16k).  v5p (v5e-generation core, larger HBM
+bandwidth 2765 GB/s, same 16 MB-class VMEM) starts from the v5e entry;
+v4/v6e likewise until swept on real chips.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+__all__ = ["tunables_for", "apply_tunables"]
+
+_TABLE: Dict[str, dict] = {
+    "default": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
+    # measured (tools/autotune.py, 2026-08, single chip via axon)
+    "v5lite": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
+    "v5e": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
+    # start points pending a real-chip sweep
+    "v5p": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
+    "v4": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
+    "v6e": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
+    "v6": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
+}
+
+
+def tunables_for(device_kind: str = None) -> dict:
+    """Tunables entry for a device kind (normalized substring match on
+    the table keys; 'TPU v5 lite' -> 'v5lite')."""
+    if device_kind is None:
+        try:
+            import jax
+            device_kind = jax.devices()[0].device_kind
+        except Exception:
+            device_kind = ""
+    kind = device_kind.lower().replace(" ", "")
+    best = None
+    for key in _TABLE:
+        if key != "default" and key in kind:
+            if best is None or len(key) > len(best):
+                best = key
+    return dict(_TABLE[best or "default"])
+
+
+def apply_tunables(device_kind: str = None) -> dict:
+    """Select the tunables for the ATTACHED chip and install them as the
+    ``ops.pallas_bdt`` module globals (called lazily on the first matrix
+    pack; the kernels read the globals late, so tools may also override
+    them directly for sweeps)."""
+    from icebin_tpu.ops import pallas_bdt as pb
+    t = tunables_for(device_kind)
+    pb.PS_CHUNK = t["ps_chunk"]
+    pb.SEC_BLOCKS = t["sec_blocks"]
+    pb.W8_CAP = t["w8_cap"]
+    return t

@@ -77,3 +77,19 @@ def test_coupler_prods_passes_knob():
     assert not np.array_equal(outs[3], outs[6])
     scale = np.abs(outs[6]).max()
     assert np.abs(outs[3] - outs[6]).max() / scale < BOUND_3PASS
+
+
+def test_device_tunables_table():
+    """Kernel tunables resolve by device kind (v5p readiness, VERDICT r2
+    item #9): the table covers the named chips and the default, and the
+    lazy installer sets sane module globals."""
+    from icebin_tpu.ops import pallas_bdt as pb
+    from icebin_tpu.ops.tuning import apply_tunables, tunables_for
+    for kind in ("TPU v5 lite", "TPU v5e", "TPU v5p", "TPU v4", "cpu", ""):
+        t = tunables_for(kind)
+        assert set(t) == {"ps_chunk", "sec_blocks", "w8_cap"}
+        assert t["ps_chunk"] in (64, 128, 256)
+    t = apply_tunables("TPU v5p")
+    assert pb.PS_CHUNK == t["ps_chunk"]
+    assert pb.SEC_BLOCKS == t["sec_blocks"]
+    assert pb.W8_CAP == t["w8_cap"]
