@@ -205,6 +205,13 @@ class IceSheetCoupler:
         engine = self.cfg.engine
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+            if engine == "pallas":
+                # global-EC-class E spaces exceed the fused kernel's
+                # VMEM-resident E3 accumulator: fall back gracefully
+                from icebin_tpu.ops.bdt import TILE_R as _TR
+                from icebin_tpu.ops.pallas_bdt import NWPAD_MAX
+                if self.gr.nE > NWPAD_MAX * _TR:
+                    engine = "xla"
         return engine
 
     def mat(self, name: str):

@@ -87,6 +87,11 @@ CH_GROUP = 16       # legacy two-kernel chunk grouping; kept only because
 SEC_BLOCKS = 1024   # true-ice blocks per dest-ice accumulator section (4 MB
                     # of VMEM at NV=8; one global accumulator stops fitting
                     # VMEM past ~2k blocks -- see _finish_pack)
+NWPAD_MAX = 16384   # E3 accumulator rows the fused dest-small kernel keeps
+                    # VMEM-resident (2 copies x NWpad x 256 B = 8 MB at the
+                    # cap, beside the double-buffered 4 MB tile stream).
+                    # ~131k realized small rows; wider E spaces (global-EC
+                    # class) take the XLA engine -- pack raises clearly.
 
 
 def _interpret_default() -> bool:
@@ -432,6 +437,13 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     NW = -(-nsmall // TILE_R)
     NWpad = max(NW, int(base8.max(initial=0)) + W8)
     NWpad = -(-NWpad // TILE_R) * TILE_R
+    if NWpad > NWPAD_MAX:
+        raise ValueError(
+            f"E-side window space NWpad={NWpad} exceeds the VMEM-resident "
+            f"E3 accumulator budget ({NWPAD_MAX}; ~{NWPAD_MAX * TILE_R} "
+            "realized small rows).  Use the XLA engine for matrices this "
+            "wide (CouplerConfig(engine='auto') falls back automatically), "
+            "or split the small space across sheets.")
 
     winvS = np.where(wS != 0, 1.0 / np.where(wS != 0, wS, 1.0), 0.0)
     winvI = np.where(wI != 0, 1.0 / np.where(wI != 0, wI, 1.0), 0.0)

@@ -7,6 +7,7 @@ and the ``CouplerConfig.prods_passes`` knob that restores ~1e-7
 (precision=HIGHEST) for accuracy-critical runs.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import scipy.sparse as sp
 
@@ -93,3 +94,17 @@ def test_device_tunables_table():
     assert pb.PS_CHUNK == t["ps_chunk"]
     assert pb.SEC_BLOCKS == t["sec_blocks"]
     assert pb.W8_CAP == t["w8_cap"]
+
+
+def test_huge_E_space_gate():
+    """E spaces beyond the VMEM-resident E3 budget raise clearly at pack
+    time, and the coupler's auto engine falls back to XLA instead."""
+    from icebin_tpu.ops.pallas_bdt import NWPAD_MAX, pallas_from_weighted
+    from icebin_tpu.regrid.sparse import WeightedMatrix
+    nsmall = (NWPAD_MAX + 8) * 8
+    n = 4096
+    rows = np.linspace(0, nsmall - 1, n).astype(np.int64)
+    M = WeightedMatrix(rows=rows, cols=np.arange(n, dtype=np.int64),
+                       vals=np.ones(n), shape=(nsmall, n))
+    with pytest.raises(ValueError, match="E3 accumulator budget"):
+        pallas_from_weighted(M, small_axis="rows")
