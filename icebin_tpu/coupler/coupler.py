@@ -32,7 +32,7 @@ from icebin_tpu.coupler.ledger import Ledger, repair_mass, weighted_mass
 from icebin_tpu.coupler.varset import (VarSet, ice_modele_output_contract,
                                        ice_native_input_contract,
                                        modele_ice_input_contract)
-from icebin_tpu.models.ice_sheet import (RHO_ICE, IceSheetConfig,
+from icebin_tpu.models.ice_sheet import (L_FUSION, RHO_ICE, IceSheetConfig,
                                          IceSheetState, init_state,
                                          step_coupled)
 import dataclasses as _dc
@@ -343,6 +343,15 @@ class IceSheetCoupler:
         # ledger: mass entering the ice sheet this step [kg]
         k = self.contract_in.index("smb_mass")
         m_in = weighted_mass(fE_in[k] * fac[k], ive.Mw) * cfg.dt
+        # energy books [J]: the contract's enthalpy/heat fields are
+        # first-class ledger rows (reference: PISM's energy balance
+        # consumes them [U IceCoupler_PISM pism_in]); e_in is the E-side
+        # source, e_delivered the repaired I-side arrival (their equality
+        # is the same < 1e-10 transport identity as mass)
+        ke1 = self.contract_in.index("smb_enth")
+        ke2 = self.contract_in.index("heat_flux")
+        e_in = (weighted_mass(fE_in[ke1] * fac[ke1], ive.Mw)
+                + weighted_mass(fE_in[ke2] * fac[ke2], ive.Mw)) * cfg.dt
         mass0 = _Hsum(state.H) * self.cell_area * RHO_ICE
         # Mass actually delivered, in the MATRIX measure (wM = covered
         # plane area per ice cell), measured from the f64 repaired field so
@@ -351,8 +360,18 @@ class IceSheetCoupler:
         if fI64 is not None:
             kk = list(self.cfg.repair_fields).index("smb_mass")
             m_delivered = weighted_mass(fI64[kk], ive.wM) * cfg.dt
+            ke = [list(self.cfg.repair_fields).index(n)
+                  for n in ("smb_enth", "heat_flux")
+                  if n in self.cfg.repair_fields]
+            e_delivered = sum(weighted_mass(fI64[j], ive.wM)
+                              for j in ke) * cfg.dt if ke else e_in
         else:
             m_delivered = weighted_mass(smbI, ive.wM) * cfg.dt
+            e_delivered = (
+                weighted_mass(jnp.where(jnp.isfinite(fI[ke1]), fI[ke1], 0.0),
+                              ive.wM)
+                + weighted_mass(jnp.where(jnp.isfinite(fI[ke2]), fI[ke2],
+                                          0.0), ive.wM)) * cfg.dt
 
         # 2. ice model step (reference: IceCoupler_PISM::run_timestep;
         #    DISMAL and other families plug in via self.ice_step).  tsurf
@@ -375,13 +394,19 @@ class IceSheetCoupler:
         fE_out = self._apply_mat(evi, outI)
         fA_out = self._apply_mat(avi, outI)
 
+        # latent heat consumed by the PDD melt [J] -- the energy-side twin
+        # of mass_returned (calving is mechanical: no latent term)
+        e_latent = (jnp.sum(meltI.astype(mass0.dtype)) * self.cell_area
+                    * cfg.dt * L_FUSION)
+
         # residual: flux clamping + f32 field quantization + measure
         # mismatch between matrix weights and model cell areas
         m_del_f32 = weighted_mass(smbI, ive.wM) * cfg.dt
         stats = jnp.stack([
             m_in, m_delivered, mass1, m_returned,
             (mass1 - mass0 - m_del_f32 + m_returned)
-            + (m_del_f32 - m_delivered)])
+            + (m_del_f32 - m_delivered),
+            e_in, e_delivered, e_latent])
         return fI, fE_out, fA_out, new_state, stats
 
     def _fusible(self, mats) -> bool:
@@ -417,7 +442,10 @@ class IceSheetCoupler:
         self.state = new_state
         keys = (f"{self.sheet}.mass_in_E", f"{self.sheet}.mass_delivered_I",
                 f"{self.sheet}.ice_mass", f"{self.sheet}.mass_returned_I",
-                f"{self.sheet}.mass_residual")
+                f"{self.sheet}.mass_residual",
+                f"{self.sheet}.energy_in_E",
+                f"{self.sheet}.energy_delivered_I",
+                f"{self.sheet}.energy_latent_melt")
         if cfg.defer_ledger:
             # no sync: the row materializes on Ledger.flush/to_rows; the
             # host loop runs ahead of the device (async dispatch)
@@ -611,11 +639,12 @@ class GCMCoupler:
                 self.ledger.open_step(t0 + i * cfg.dt)
                 for name in self.sheets:
                     s = stats[name][i]
-                    self.ledger.post(f"{name}.mass_in_E", s[0])
-                    self.ledger.post(f"{name}.mass_delivered_I", s[1])
-                    self.ledger.post(f"{name}.ice_mass", s[2])
-                    self.ledger.post(f"{name}.mass_returned_I", s[3])
-                    self.ledger.post(f"{name}.mass_residual", s[4])
+                    for j, key in enumerate((
+                            "mass_in_E", "mass_delivered_I", "ice_mass",
+                            "mass_returned_I", "mass_residual",
+                            "energy_in_E", "energy_delivered_I",
+                            "energy_latent_melt")):
+                        self.ledger.post(f"{name}.{key}", s[j])
             self.time += k * cfg.dt
             done += k
             for name, sc in self.sheets.items():

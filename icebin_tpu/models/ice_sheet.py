@@ -33,10 +33,11 @@ import jax.numpy as jnp
 
 __all__ = ["IceSheetConfig", "IceSheetState", "init_state", "step",
            "step_coupled", "ablation_ghosted", "sia_flux_div_ghosted",
-           "RHO_ICE", "GRAVITY"]
+           "RHO_ICE", "GRAVITY", "L_FUSION"]
 
 RHO_ICE = 910.0        # kg m-3
 GRAVITY = 9.81         # m s-2
+L_FUSION = 3.34e5      # J kg-1 latent heat of fusion (melt energy books)
 GLEN_N = 3.0
 # SIA softness Gamma = 2 A (rho g)^n / (n + 2), A = 1e-16 Pa-3 yr-1 converted
 _A_GLEN = 1e-16 / (365.2425 * 86400.0)   # Pa-3 s-1

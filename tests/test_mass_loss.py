@@ -220,3 +220,32 @@ def test_retreat_fused_window_books_match_stepwise():
         a = np.array([r[f"toy.{k}"] for r in rows1])
         b = np.array([r[f"toy.{k}"] for r in rows2])
         np.testing.assert_allclose(b, a, rtol=1e-12)
+
+
+def test_energy_books():
+    """The contract's enthalpy/heat fields are first-class ledger rows:
+    transported energy conserves < 1e-10 (same repaired identity as mass)
+    and the melt's latent heat matches the returned mass exactly when
+    calving is disabled (reference: PISM's energy balance consumes
+    smb_enth/heat_flux [U IceCoupler_PISM])."""
+    import dataclasses
+    from icebin_tpu.models.ice_sheet import L_FUSION
+    gr = make_gr()
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=1 << 30)
+    specI = gr.sheets["toy"].specI
+    ice_cfg = dataclasses.replace(melt_cfg(specI), calv_thk=0.0)
+    sc = IceSheetCoupler(gr, "toy", cfg, ice_cfg=ice_cfg)
+    cp = GCMCoupler(gr, cfg, sheets={"toy": sc})
+    for _ in range(6):
+        cp.couple({"toy": warm_forcing(cp.time, gr.nE)})
+    rows = cp.ledger.to_rows()
+    for r in rows:
+        e_in = r["toy.energy_in_E"]
+        e_del = r["toy.energy_delivered_I"]
+        assert e_in != 0.0
+        assert abs(e_in - e_del) / abs(e_in) < 1e-10
+        # calving off: returned mass IS melt mass; latent = L_f * melt
+        lat = r["toy.energy_latent_melt"]
+        ret = r["toy.mass_returned_I"]
+        assert ret > 0
+        assert abs(lat - L_FUSION * ret) / lat < 1e-6
