@@ -80,18 +80,41 @@ def _unzigzag(a: np.ndarray) -> np.ndarray:
             ^ -((a & np.uint64(1)).astype(np.int64)))
 
 
+def _native():
+    """The C++ codec twin (native/zarray.cc) -- byte-identical streams,
+    ~20x faster at global_ec scale; numpy is the fallback/referee."""
+    try:
+        from icebin_tpu.ops import native
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def encode_zarray(rows, cols, vals) -> bytes:
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float64)
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    drows = np.diff(rows, prepend=0).astype(np.uint64)
-    dcols = _zigzag(np.diff(cols, prepend=0))
+    # fast path: most producers emit row-major-sorted COO already; the
+    # O(n) check is ~30x cheaper than the lexsort it skips
+    dr = np.diff(rows)
+    if len(rows) and ((dr < 0).any()
+                      or (np.diff(cols)[dr == 0] < 0).any()):
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+    nat = _native()
+    if nat is not None:
+        br, bc = nat.zarray_encode_native(rows, cols)
+    else:
+        br = _varint_encode(np.diff(rows, prepend=0).astype(np.uint64))
+        bc = _varint_encode(_zigzag(np.diff(cols, prepend=0)))
     streams = [
-        zlib.compress(_varint_encode(drows), 6),
-        zlib.compress(_varint_encode(dcols), 6),
-        zlib.compress(vals.tobytes(), 6),
+        zlib.compress(br, 6),
+        zlib.compress(bc, 6),
+        # f64 values are near-incompressible; level 1 trades ~2% size for
+        # ~5x encode speed (decode reads any level)
+        zlib.compress(vals.tobytes(), 1),
     ]
     out = bytearray(_MAGIC)
     out += struct.pack("<Q", len(vals))
@@ -112,7 +135,11 @@ def decode_zarray(blob: bytes):
         off += 8
         streams.append(zlib.decompress(blob[off:off + ln]))
         off += ln
-    rows = np.cumsum(_varint_decode(streams[0], nnz).astype(np.int64))
-    cols = np.cumsum(_unzigzag(_varint_decode(streams[1], nnz)))
+    nat = _native()
+    if nat is not None:
+        rows, cols = nat.zarray_decode_native(streams[0], streams[1], nnz)
+    else:
+        rows = np.cumsum(_varint_decode(streams[0], nnz).astype(np.int64))
+        cols = np.cumsum(_unzigzag(_varint_decode(streams[1], nnz)))
     vals = np.frombuffer(streams[2], dtype=np.float64).copy()
     return rows, cols, vals

@@ -20,7 +20,8 @@ import subprocess
 import numpy as np
 
 __all__ = ["available", "clip_areas_centroids_native", "coo_sum_sorted",
-           "ensure_gcmce_lib"]
+           "ensure_gcmce_lib", "zarray_encode_native",
+           "zarray_decode_native"]
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libicebin_native.so"
@@ -48,6 +49,17 @@ def _load():
         lib.ib_coo_sum_sorted.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.ib_zarray_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
+        lib.ib_zarray_decode.restype = ctypes.c_int
+        lib.ib_zarray_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
     except Exception:
         _lib = None
@@ -109,3 +121,41 @@ def coo_sum_sorted(rows, cols, vals):
                               _ptr(cols, ctypes.c_int64),
                               _ptr(vals), len(vals))
     return rows[:n], cols[:n], vals[:n]
+
+
+def zarray_encode_native(rows: np.ndarray, cols: np.ndarray):
+    """(varint(row deltas), varint(zigzag col deltas)) bytes -- the
+    byte-identical native twin of io.zarray's numpy streams."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    n = len(rows)
+    out_r = np.empty(10 * n + 1, dtype=np.uint8)
+    out_c = np.empty(10 * n + 1, dtype=np.uint8)
+    lr = ctypes.c_int64()
+    lc = ctypes.c_int64()
+    lib.ib_zarray_encode(_ptr(rows, ctypes.c_int64),
+                         _ptr(cols, ctypes.c_int64), n,
+                         _ptr(out_r, ctypes.c_uint8), ctypes.byref(lr),
+                         _ptr(out_c, ctypes.c_uint8), ctypes.byref(lc))
+    return out_r[:lr.value].tobytes(), out_c[:lc.value].tobytes()
+
+
+def zarray_decode_native(br: bytes, bc: bytes, n: int):
+    """(rows, cols) int64 arrays from the two varint streams."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ar = np.frombuffer(br, dtype=np.uint8)
+    ac = np.frombuffer(bc, dtype=np.uint8)
+    rows = np.empty(n, dtype=np.int64)
+    cols = np.empty(n, dtype=np.int64)
+    rc = lib.ib_zarray_decode(_ptr(ar, ctypes.c_uint8), len(ar),
+                              _ptr(ac, ctypes.c_uint8), len(ac), n,
+                              _ptr(rows, ctypes.c_int64),
+                              _ptr(cols, ctypes.c_int64))
+    if rc != 0:
+        raise ValueError(f"corrupt zarray varint stream (code {rc})")
+    return rows, cols

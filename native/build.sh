@@ -4,5 +4,5 @@
 set -e
 cd "$(dirname "$0")"
 CXX=${CXX:-g++}
-$CXX -O3 -march=native -fopenmp -shared -fPIC clip.cc -o libicebin_native.so
+$CXX -O3 -march=native -fopenmp -shared -fPIC clip.cc zarray.cc -o libicebin_native.so
 echo "built $(pwd)/libicebin_native.so"
