@@ -122,7 +122,9 @@ def main():
     # state sharded over the global mesh, elevmask re-assembled with one
     # process_allgather at regeneration)
     from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler
-    nyc = 4 * (4 * nproc)
+    # RAGGED row count (not divisible by the 2x4-device global mesh):
+    # exercises the replicated-pad-row decomposition across PROCESSES
+    nyc = 4 * (4 * nproc) + 4
     specI2 = GridSpecXY(xb=np.linspace(0.0, 16.0 * scale, 33),
                         yb=np.linspace(40.0 * scale, 72.0 * scale, nyc + 1),
                         projection=PlateCarree(scale=scale))
@@ -142,6 +144,16 @@ def main():
     worst = max(abs(r["s.mass_in_E"] - r["s.mass_delivered_I"])
                 / abs(r["s.mass_in_E"]) for r in rows)
     assert worst < 1e-10, worst
+    # per-step closure incl. the returned-mass and energy books
+    prev = None
+    for r in rows:
+        if prev is not None:
+            lhs = r["s.ice_mass"] - prev
+            rhs = (r["s.mass_delivered_I"] - r["s.mass_returned_I"]
+                   + r["s.mass_residual"])
+            assert abs(lhs - rhs) / abs(r["s.ice_mass"]) < 1e-12
+        assert "s.energy_in_E" in r
+        prev = r["s.ice_mass"]
 
     print(f"proc {pid}: multihost OK ({nproc} procs x 4 devices; fused "
           f"mesh coupler worst {worst:.2e})", flush=True)
