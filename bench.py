@@ -18,12 +18,17 @@ Methodology notes (see .claude/skills/verify/SKILL.md):
 * conservation is asserted (f64, < 1e-10) before timing -- a fast wrong
   answer must fail the bench.
 * byte accounting counts what one round trip actually streams (tiles twice
-  -- once per direction -- gathered fields, E3, true-block output).  NOTE
-  round 3 FUSED each direction into one kernel, so the products/window
-  interchange buffers no longer exist and are no longer counted: the r3
-  stream_bytes is ~7% SMALLER than r2's at config #3 for the same logical
-  work, so GB/s values are not directly comparable across those rounds
-  (compare round-trip microseconds, reported as `rt_us`).
+  -- once per direction -- field sections, E3, true-block output).  NOTE
+  round 3 FUSED each direction into one kernel (the products/window
+  interchange buffers disappeared, ~7% fewer bytes than r2), and round 4
+  fused the dest-small field GATHER into the kernel (the pseudo-order
+  XLA row-gather's write+read disappeared: ~16% fewer bytes again at
+  config #3).  Each fusion makes the implementation move FEWER bytes for
+  the same logical work, so effective GB/s is not comparable across
+  rounds -- compare round-trip microseconds (`rt_us`): r2 160 (two-kernel
+  + interchange + gather; fast at Greenland scale, 0.43x at Antarctica) /
+  r3 179 / r4 ~169, with r4 streaming ~24% fewer bytes than r2 for the
+  identical logical round trip and keeping Antarctica at ~1x Greenland.
 * vs_baseline = achieved / (0.70 * nominal HBM roof): 1.0 == the north-star
   target "SpMV >= 70% of HBM roof" (BASELINE.md).  No reference numbers
   exist (reference publishes none).  Measured practical stream roof on the

@@ -13,9 +13,12 @@ Two design moves:
    HBM bandwidth on zero tiles (Greenland 5 km: mean 5.6 windows/block, max
    13 → 58% padding at T=max). Here each ice block is SPLIT into
    pseudo-blocks of at most TS windows, all mapping to the same 128-cell ice
-   block through ``pseudo2blk``: the field input rides an XLA row-gather
-   (take) into pseudo order, and the dest-ice output is summed back with a
-   sorted segment-sum. Padding drops to < 20% at TS=4 with no COO overflow.
+   block through ``pseudo2blk``: the dest-small kernel reads each pseudo's
+   field row from its section block in-kernel (round 4; the XLA row-gather
+   into pseudo order it replaces cost ~40 us + 2x the field bytes per
+   apply), and the dest-ice output lands straight in the section-indexed
+   true-block accumulator. Padding drops to < 20% at TS=4 with no COO
+   overflow.
 
 2. **Each apply direction is ONE fused Pallas kernel** (round 3; round 2
    used two kernels glued by an HBM interchange buffer whose (…, TS*8, NV)
@@ -25,14 +28,19 @@ Two design moves:
    the per-pseudo MXU contraction products never leave VMEM:
 
    dest-small (EvI/AvI), ``_fused_small_kernel``: per pseudo-block one MXU
-     contraction of the R-MAJOR tiles (rows r*TS+t) against the gathered
-     field → (TS*8, NV) VMEM scratch, folded to E3 lane order (TS, 8*NV)
-     by 8 sublane slices + one lane concat (Mosaic cannot shape-cast an
-     8-lane minor, and crashes slicing a dot RESULT — tools/probe_fold_ops
-     .py; slicing the scratch is the proven form), landing in a (C2, 8*NV)
-     chunk scratch; then ONE one-hot band matmul (iota compare on window
-     offsets) accumulates the chunk into the VMEM-resident E3 accumulator:
-     E3[w, r*NV+v] = E[v, w*8+r].
+     contraction of the R-MAJOR tiles (rows r*TS+t) against the field row
+     of its true ice block — read IN-KERNEL from the scalar-prefetch-
+     section-indexed field block (the XLA pseudo-order row-gather of
+     rounds 1–3 cost ~40 us and 2x the field bytes per apply at config #3;
+     chunks never straddle ice sections by construction, so the (SEC, NV,
+     128) field section rides the same ``sec_idx`` indexing as the dest-ice
+     accumulator) → (TS*8, NV) VMEM scratch, folded to E3 lane order
+     (TS, 8*NV) by 8 sublane slices + one lane concat (Mosaic cannot
+     shape-cast an 8-lane minor, and crashes slicing a dot RESULT —
+     tools/probe_fold_ops.py; slicing the scratch is the proven form),
+     landing in a (C2, 8*NV) chunk scratch; then ONE one-hot band matmul
+     (iota compare on window offsets) accumulates the chunk into the
+     VMEM-resident E3 accumulator: E3[w, r*NV+v] = E[v, w*8+r].
 
    dest-ice (IvE/IvA), ``_fused_ice_kernel``, is the exact reverse: the
      one-hot-transpose band matmul gathers E3 window rows into the chunk
@@ -84,14 +92,21 @@ PS_CHUNK = 128      # pseudo-blocks per fused-kernel grid step (C2=PS_CHUNK*TS)
 CH_GROUP = 16       # legacy two-kernel chunk grouping; kept only because
                     # the sharded builder pads w_off/w_offT to its multiple
                     # (harmless: the fused grid visits nchunk steps)
-SEC_BLOCKS = 1024   # true-ice blocks per dest-ice accumulator section (4 MB
+SEC_BLOCKS = 1024   # true-ice blocks per accumulator/field section (4 MB
                     # of VMEM at NV=8; one global accumulator stops fitting
-                    # VMEM past ~2k blocks -- see _finish_pack)
-NWPAD_MAX = 16384   # E3 accumulator rows the fused dest-small kernel keeps
-                    # VMEM-resident (2 copies x NWpad x 256 B = 8 MB at the
-                    # cap, beside the double-buffered 4 MB tile stream).
-                    # ~131k realized small rows; wider E spaces (global-EC
-                    # class) take the XLA engine -- pack raises clearly.
+                    # VMEM past ~2k blocks -- see _finish_pack).  Smaller
+                    # sections measured WORSE end-to-end (more per-section
+                    # chunk padding; ops.tuning docstring has the sweep).
+NWPAD_MAX = 8192    # E3 accumulator rows the fused dest-small kernel keeps
+                    # VMEM-resident.  Budget at the cap: E3 out + winvS_e3
+                    # (2 x NWpad x 256 B = 4 MB) + double-buffered tile
+                    # stream (4 MB) + double-buffered field section
+                    # (2 x SEC_BLOCKS x 4 KB = 8 MB, new in r4 -- the
+                    # in-kernel gather reads the field by section) ~= 16 MB
+                    # VMEM.  ~65k realized small rows covers every named
+                    # config (global 144x90 x 5 EC = 64800); wider E spaces
+                    # (global-EC class) take the XLA engine -- pack raises
+                    # clearly and CouplerConfig(engine='auto') falls back.
 
 
 def _interpret_default() -> bool:
@@ -157,10 +172,10 @@ class PallasBDT:
     @property
     def bytes_small(self) -> int:
         """HBM bytes the dest-small (EvI) direction actually moves (the
-        fused kernel keeps the per-pseudo products in VMEM)."""
+        fused kernel keeps the per-pseudo products in VMEM and reads the
+        field straight from its section blocks — no pseudo-order gather)."""
         return int(self.tiles2.size * 4                  # tile stream
-                   + 2 * self.npspad * self.NV * TILE_C * 4   # fbp gather w+r
-                   + self.nblkpad * self.NV * TILE_C * 4      # true field r
+                   + self.nblkpad * self.NV * TILE_C * 4      # field secs r
                    + self.NWpad * TILE_R * self.NV * 4)       # E3 w
 
     @property
@@ -571,13 +586,16 @@ def _dot3(a, b, dims):
     return acc
 
 
-def _fused_small_kernel(PSC, ts, W8, nstep, passes, scale, unroll,
-                        base_ref, tiles_ref, f_ref, woff_ref, winv_ref,
-                        out_ref, s_ref, p2_ref):
+def _fused_small_kernel(PSC, ts, W8, SEC, nstep, passes, scale, unroll,
+                        base_ref, p2b_ref, si_ref, tiles_ref, f_ref,
+                        woff_ref, winv_ref, out_ref, s_ref, p2_ref):
     """Fused dest-small: one chunk (PSC pseudo-blocks) per grid step.
 
     Per pseudo-block: MXU contraction of the r-major tiles (8*ts, 128)
-    against the gathered field (NV, 128) into the (8*ts, NV) scratch, then
+    against its true block's field row — read from the (SEC, NV, 128)
+    field SECTION block via the scalar-prefetched ``pseudo2blk`` (the
+    in-kernel twin of the old XLA pseudo-order gather; legal because
+    chunks never straddle sections) — into the (8*ts, NV) scratch, then
     the sublane-slice + lane-concat fold to E3 lane order lands rows
     [p*ts, (p+1)*ts) of the (C2, 8*NV) chunk scratch.  After the loop, ONE
     one-hot band matmul (window offsets vs iota) accumulates the chunk
@@ -593,7 +611,8 @@ def _fused_small_kernel(PSC, ts, W8, nstep, passes, scale, unroll,
 
     def body(p, _):
         t = tiles_ref[p]                        # (8*ts, 128) rows r*ts+t
-        f = f_ref[p]                            # (NV, 128)
+        j = p2b_ref[i * PSC + p] - si_ref[i] * SEC
+        f = f_ref[pl.ds(j, 1), :, :][0]         # (NV, 128) section row
         if passes >= 6:
             s_ref[:] = jax.lax.dot_general(
                 t, f, dims, preferred_element_type=jnp.float32,
@@ -708,26 +727,31 @@ def _mk_fused_small(pm: PallasBDT, interpret: bool, scale: bool = False,
     PSC, ts, NV, W8 = PS_CHUNK, pm.ts, pm.NV, pm.W8
     C2 = PSC * ts
     nstep = pm.nchunk
+    SEC = pm.sec_blocks
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(nstep,),
         in_specs=[
             pl.BlockSpec((PSC, TILE_R * ts, TILE_C),
-                         lambda i, b: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PSC, NV, TILE_C), lambda i, b: (i, 0, 0),
+                         lambda i, b, p2, si: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, C2), lambda i, b: (i, 0),
+            pl.BlockSpec((SEC, NV, TILE_C),
+                         lambda i, b, p2, si: (si[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
+            pl.BlockSpec((TILE_R, C2), lambda i, b, p2, si: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pm.NWpad, TILE_R * NV),
+                         lambda i, b, p2, si: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((pm.NWpad, TILE_R * NV), lambda i, b: (0, 0),
+        out_specs=pl.BlockSpec((pm.NWpad, TILE_R * NV),
+                               lambda i, b, p2, si: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((TILE_R * ts, NV), jnp.float32),
                         pltpu.VMEM((C2, TILE_R * NV), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_fused_small_kernel, PSC, ts, W8, nstep,
+        functools.partial(_fused_small_kernel, PSC, ts, W8, SEC, nstep,
                           passes or PRODS_PASSES, scale, not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pm.NWpad, TILE_R * NV), jnp.float32),
@@ -797,13 +821,15 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
                         passes: Optional[int] = None):
     """dest-small (EvI/AvI): blocked ice (nblkpad, NV, 128) → E3 layout.
 
+    The field rides straight into the kernel as section blocks (the
+    pseudo-order row-gather that preceded rounds-1..3 kernels is fused
+    in-kernel via the scalar-prefetched ``pseudo2blk``/``sec_idx``).
     Overflow entries and the weight scale ride a fused XLA epilogue on the
     E3 accumulator (both are linear, so kernel part + overflow part scale
     together).
     """
     if interpret is None:
         interpret = _interpret_default()
-    fbp = jnp.take(fb, pm.pseudo2blk, axis=0)       # pseudo-order gather
     # with no overflow the winvS scale fuses into the kernel's last step;
     # overflow entries must be added unscaled first, so the scale waits
     in_scale = scale and pm.ov_s is None
@@ -811,7 +837,8 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
     # trace them with x64 scoped off (callers may run a global-x64 ledger).
     with jax.enable_x64(False):
         acc = _mk_fused_small(pm, interpret, in_scale, passes)(
-            pm.base, pm.tiles2, fbp, pm.w_off, pm.winvS_e3)
+            pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2, fb,
+            pm.w_off, pm.winvS_e3)
     if in_scale:
         return acc
     if pm.ov_s is not None:

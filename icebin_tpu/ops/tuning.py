@@ -24,8 +24,11 @@ Tunables and their VMEM budgets (f32 bytes; NV=8, TS=4 throughout):
 
 Measured on v5e (16 MB VMEM, 819 GB/s HBM): ps_chunk sweep at config #3
 {64: 205 us, 128: 185 us, 256: 227 us} round trip -> 128; Antarctica-scale
-sec_blocks {512, 1024, 2048} flat within noise -> 1024 (4 MB, leaves
-headroom for NWpad up to ~16k).  v5p (v5e-generation core, larger HBM
+sec_blocks {512, 1024, 2048} flat within noise in the r3 sweep, and 512
+measured WORSE than 1024 end-to-end once the r4 dest-small kernel began
+streaming the field by section (more sections -> more per-section chunk
+padding: config #3 rt 179 us at 512 vs 169 at 1024) -> 1024; the r4
+field-section double buffer is paid for by the lower NWPAD_MAX.  v5p (v5e-generation core, larger HBM
 bandwidth 2765 GB/s, same 16 MB-class VMEM) starts from the v5e entry;
 v4/v6e likewise until swept on real chips.
 """
