@@ -204,6 +204,10 @@ def main():
         "vs_baseline": round(gbps / (0.70 * roof), 4),
         "roof_nominal_GBps": roof,
         "rt_us": round(per_sheet["greenland"]["rt_us"], 1),
+        # bytes ONE round trip streams under the current kernel design --
+        # the denominator context for cross-round GB/s comparisons (each
+        # fusion round shrinks it for the same logical work; see header)
+        "stream_MB": round(mats["greenland"][0].stream_bytes / 1e6, 1),
         "sync_latency_ms": round(per_sheet["greenland"]["lat_ms"], 2),
         "antarctica_GBps": round(per_sheet["antarctica"]["gbps"], 2),
         "antarctica_rt_us": round(per_sheet["antarctica"]["rt_us"], 1),
