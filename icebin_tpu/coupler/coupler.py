@@ -204,14 +204,10 @@ class IceSheetCoupler:
     def _engine(self) -> str:
         engine = self.cfg.engine
         if engine == "auto":
+            # global-EC-class E spaces no longer gate the Pallas path: the
+            # pack splits wide E spaces into per-section kernel calls
+            # (ops.pallas_bdt E_SEC)
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
-            if engine == "pallas":
-                # global-EC-class E spaces exceed the fused kernel's
-                # VMEM-resident E3 accumulator: fall back gracefully
-                from icebin_tpu.ops.bdt import TILE_R as _TR
-                from icebin_tpu.ops.pallas_bdt import NWPAD_MAX
-                if self.gr.nE > NWPAD_MAX * _TR:
-                    engine = "xla"
         return engine
 
     def mat(self, name: str):

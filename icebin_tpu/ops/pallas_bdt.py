@@ -97,16 +97,23 @@ SEC_BLOCKS = 1024   # true-ice blocks per accumulator/field section (4 MB
                     # VMEM past ~2k blocks -- see _finish_pack).  Smaller
                     # sections measured WORSE end-to-end (more per-section
                     # chunk padding; ops.tuning docstring has the sweep).
-NWPAD_MAX = 8192    # E3 accumulator rows the fused dest-small kernel keeps
-                    # VMEM-resident.  Budget at the cap: E3 out + winvS_e3
-                    # (2 x NWpad x 256 B = 4 MB) + double-buffered tile
-                    # stream (4 MB) + double-buffered field section
-                    # (2 x SEC_BLOCKS x 4 KB = 8 MB, new in r4 -- the
-                    # in-kernel gather reads the field by section) ~= 16 MB
-                    # VMEM.  ~65k realized small rows covers every named
-                    # config (global 144x90 x 5 EC = 64800); wider E spaces
-                    # (global-EC class) take the XLA engine -- pack raises
-                    # clearly and CouplerConfig(engine='auto') falls back.
+E_SEC = 4096        # windows per E3 accumulator SECTION.  Each kernel call
+                    # keeps ONE section VMEM-resident (E3 out + winvS_e3 =
+                    # 2 x E_SEC x 256 B = 2 MB at NV=8; + double-buffered
+                    # tile stream 4 MB + double-buffered field section
+                    # 8 MB + chunk scratch ~= 14.3 MB of the 16 MB scoped
+                    # VMEM -- 8192 measured OOM by 304 KB on v5e).  E
+                    # spaces wider than a section (global-EC class:
+                    # millions of realized E rows) split into PER-SECTION
+                    # kernel calls: pseudo-blocks group esec-major at pack
+                    # time, so chunks never straddle E sections, W8 <=
+                    # E_SEC automatically, and each chunk's clamped band
+                    # [base8, base8+W8) stays inside its section block.
+                    # One section (every config whose E space fits, incl.
+                    # all BASELINE sheets) reduces EXACTLY to the
+                    # single-call r4 kernel.
+NWPAD_MAX = E_SEC   # back-compat alias (the pre-r5 hard gate; E spaces of
+                    # any width now stay on the Pallas path)
 
 
 def _interpret_default() -> bool:
@@ -154,9 +161,16 @@ class PallasBDT:
     nsmall: int
     nice: int
     sec_blocks: int           # blocks per B2' accumulator section
+    e_sec: int                # windows per E3 accumulator section
+    nesec: int                # E3 sections (1 = single fused call per dir)
+    #: per-E-section kernel-call groups, esec-major chunk ranges:
+    #: (chunk0, chunk1, esec, ice_sec_lo, ice_sec_hi); E sections with no
+    #: chunks are absent (their E3 rows are exact zeros)
+    egroups: tuple
 
     _STATIC = ("ts", "W8", "NV", "nchunk", "nchunkpad", "npspad", "nblk",
-               "nblkpad", "NWpad", "nsmall", "nice", "sec_blocks")
+               "nblkpad", "NWpad", "nsmall", "nice", "sec_blocks",
+               "e_sec", "nesec", "egroups")
     _ARRAYS = ("tiles2", "pseudo2blk", "w_off", "w_offT", "base",
                "winvS_e3", "winvI_blk", "wS", "wI", "ov_s", "ov_c", "ov_v",
                "sec_idx", "sec_flags")
@@ -224,69 +238,57 @@ class PallasBDT:
 # ---------------------------------------------------------------------------
 
 def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS,
-                    sec_blocks=None) -> PallasBDT:
+                    sec_blocks=None, e_sec=None) -> PallasBDT:
     """Re-pack an XLA BDTMatrix into the pseudo-block fused-kernel layout.
 
     ``bm`` should be built with ``max_tiles_per_block`` = the exact max so
     no windows were demoted to its COO overflow (``pallas_from_weighted``
-    does this); any overflow it does carry is passed through.
+    does this); any overflow it does carry is passed through.  The dense
+    tiles are exploded back to COO and routed through the one true packer
+    (``_pseudo_from_coo``) so the E-section split logic lives in one place
+    (this is the test-hook path for the overflow epilogue — small inputs).
     """
     _ensure_tuned()
     tiles = np.asarray(bm.tiles, np.float32)          # (nblk, T, 8, 128)
     row_start = np.asarray(bm.row_start, np.int64)
-    nblk, T = row_start.shape
     nsmall, nice = bm.nsmall, bm.nice
-    w = row_start // TILE_R                           # window ids (nblk, T)
     real = np.abs(tiles).sum(axis=(2, 3)) > 0         # (nblk, T)
 
-    # pseudo-block assignment: rank of each real slot within its block
-    rank = np.cumsum(real, axis=1) - 1                # valid where real
-    cnt = real.sum(axis=1)                            # windows per block
-    nps_b = -(-cnt // ts)                             # pseudo-blocks per blk
-    nps_b = np.maximum(nps_b, 0)
-    ps_off = np.concatenate([[0], np.cumsum(nps_b)[:-1]])
-    nps = int(nps_b.sum())
-    npspad = max(-(-nps // PS_CHUNK) * PS_CHUNK, PS_CHUNK)
-
-    bb, tt = np.nonzero(real)
-    pid = (ps_off[bb] + rank[bb, tt] // ts).astype(np.int64)
-    slot = (rank[bb, tt] % ts).astype(np.int64)
-
-    tiles_ps = np.zeros((npspad, ts, TILE_R, TILE_C), np.float32)
-    tiles_ps[pid, slot] = tiles[bb, tt]
-    w_ps = np.zeros((npspad, ts), np.int64)
-    w_ps[pid, slot] = w[bb, tt]
-    # dead slots inherit their pseudo-block's first window (band narrowness)
-    first = np.zeros(npspad, np.int64)
-    first[pid[slot == 0]] = w[bb[slot == 0], tt[slot == 0]]
-    realp = np.zeros((npspad, ts), bool)
-    realp[pid, slot] = True
-    w_ps = np.where(realp, w_ps, first[:, None])
-    pseudo2blk = np.zeros(npspad, np.int64)
-    pseudo2blk[pid] = bb
-
-    nblkpad = -(-nblk // TILE_R) * TILE_R
-    haspid = np.zeros(npspad, bool)
-    haspid[pid] = True
-    pseudo2blk[~haspid] = nblkpad - 1               # trash rows
-    # (zero tiles make trash contributions exact zeros)
+    ent_s, ent_c, ent_v = [], [], []
+    for b, t in zip(*np.nonzero(real)):
+        rr, cc = np.nonzero(tiles[b, t])
+        ent_s.append(row_start[b, t] + rr)
+        ent_c.append(b * TILE_C + cc)
+        ent_v.append(np.asarray(tiles[b, t], np.float64)[rr, cc])
+    if not ent_s:
+        ent_s, ent_c, ent_v = [[0]], [[0]], [[0.0]]
+    s = np.concatenate(ent_s)
+    c = np.concatenate(ent_c)
+    v = np.concatenate(ent_v)
+    (tiles_ps, w_ps, realp, pseudo2blk, haspid, first, nblk, nblkpad,
+     npspad) = _pseudo_from_coo(s, c, v, nsmall, nice, ts, e_sec=e_sec)
     return _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first,
                         np.asarray(bm.wS, np.float64),
                         np.asarray(bm.wI, np.float64),
                         nsmall, nice, nblk, nblkpad, nv, ts,
                         bm.ov_rows, bm.ov_cols, bm.ov_vals,
-                        sec_blocks=sec_blocks)
+                        sec_blocks=sec_blocks, e_sec=e_sec)
 
 
-def _pseudo_from_coo(s, i, v, nsmall, nice, ts):
+def _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=None):
     """COO (small rows s, ice cols i, vals v) -> pseudo-block intermediates,
     WITHOUT materializing the dense (nblk, T, 8, 128) BDT tile array (which
     costs minutes and gigabytes at Antarctica-5km scale: 120 s profiled,
     77 s of it f64->f32 astype on the dense intermediate).
 
-    Ordering contract (bit-compatible with the BDT path): windows ascend
-    within each block; pseudo ids ascend with (block, window rank).
+    Ordering contract: windows ascend within each (block, E-section) group;
+    pseudo ids ascend with (block, E-section, window rank).  Splitting
+    pseudo-blocks at E-section boundaries (windows of one pseudo never
+    straddle ``e_sec``) is what lets ``_finish_pack`` group chunks
+    esec-major for the per-section kernel calls.
     """
+    if e_sec is None:
+        e_sec = E_SEC
     s = np.asarray(s, np.int64)
     i = np.asarray(i, np.int64)
     v = np.asarray(v, np.float64)
@@ -300,15 +302,19 @@ def _pseudo_from_coo(s, i, v, nsmall, nice, ts):
     uw = (uk % nw_tot).astype(np.int64)               # window id
     nwin = len(uk)
 
-    cnt = np.bincount(ub, minlength=nblk)             # windows per block
-    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-    rank = np.arange(nwin) - starts[ub]               # window rank in block
-    nps_b = -(-cnt // ts)
-    ps_off = np.concatenate([[0], np.cumsum(nps_b)[:-1]])
-    nps = int(nps_b.sum())
+    # group = (block, E-section); nondecreasing along uk since windows
+    # ascend within each block
+    grp = ub * (nw_tot // e_sec + 2) + uw // e_sec
+    _, ginv, cnt_g = np.unique(grp, return_inverse=True,
+                               return_counts=True)
+    starts = np.concatenate([[0], np.cumsum(cnt_g)[:-1]])
+    rank = np.arange(nwin) - starts[ginv]             # window rank in group
+    nps_g = -(-cnt_g // ts)
+    ps_off = np.concatenate([[0], np.cumsum(nps_g)[:-1]])
+    nps = int(nps_g.sum())
     npspad = max(-(-nps // PS_CHUNK) * PS_CHUNK, PS_CHUNK)
 
-    wpid = (ps_off[ub] + rank // ts).astype(np.int64)  # pseudo of window
+    wpid = (ps_off[ginv] + rank // ts).astype(np.int64)  # pseudo of window
     wslot = (rank % ts).astype(np.int64)
 
     # scatter entries straight into the pseudo tile array via bincount
@@ -339,13 +345,13 @@ def _pseudo_from_coo(s, i, v, nsmall, nice, ts):
 
 def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
                  nsmall, nice, nblk, nblkpad, nv, ts,
-                 ov_rows, ov_cols, ov_vals, sec_blocks=None) -> PallasBDT:
-    """Shared packing tail: order pseudo-blocks SECTION-major (VMEM-sized
-    true-block accumulator tiles for B2') then WINDOW-sorted within each
-    section, chunk, band-cap, demote out-of-band tiles to COO, build
-    weight layouts.
+                 ov_rows, ov_cols, ov_vals, sec_blocks=None,
+                 e_sec=None) -> PallasBDT:
+    """Shared packing tail: order pseudo-blocks E-SECTION-major, then
+    ICE-SECTION-major, then WINDOW-sorted; chunk; band-cap; demote
+    out-of-band tiles to COO; build weight layouts.
 
-    Sections: the dest-ice kernel keeps its true-block accumulator
+    Ice sections: the dest-ice kernel keeps its true-block accumulator
     VMEM-resident; one global accumulator stops fitting past ~2k blocks
     (Antarctica 5 km: 9800 blocks = 38 MB >> 16 MB VMEM, measured 3x
     slowdown as Mosaic spills it).  Blocks are cut into SEC_BLOCKS-sized
@@ -354,63 +360,119 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     the kernel's out block rides a scalar-prefetched section index --
     zero-init on section entry, weight scale on section exit.
 
-    Within a section, pseudo-blocks sort by WINDOW: the pseudo2blk
+    E sections (r5): the dest-small kernel's E3 accumulator (and the
+    dest-ice kernel's E3 input) likewise stop fitting VMEM for global-EC-
+    class E spaces.  Pseudo-blocks are grouped E-SECTION-major (each
+    pseudo's windows never straddle ``e_sec`` -- ``_pseudo_from_coo``
+    splits there), each (esec, isec) pair pads to whole chunks, and each
+    esec becomes ONE kernel call per direction (``egroups``) whose E3
+    block is that section.  Chunk bands are clamped into their section:
+    W8 <= e_sec holds automatically (chunks never straddle buckets), and
+    base8 is pulled down to ``section_end - W8`` when a chunk sits near
+    the section end (offsets stay in [0, W8)).  A single E section -- every
+    pre-global-EC config -- reduces bit-exactly to the one-call layout.
+
+    Within a section pair, pseudo-blocks sort by WINDOW: the pseudo2blk
     indirection makes the order free (A1's gather and B2''s RMW take any
     order) and window-sorted chunks have the narrowest W8 band for ANY
     geometry -- a pole-centered sheet otherwise spreads each chunk over a
     whole latitude ring (measured W8 1064 vs 192 for Greenland)."""
     NV = nv
 
-    # -- section-major, window-sorted pseudo order with per-section padding
-    # (small matrices keep ONE section exactly their own size -- no blocked
-    # -layout inflation; a mesh build passes a COMMON sec_blocks so every
-    # shard's section scheme matches)
+    # -- (esec, isec)-major, window-sorted pseudo order with per-pair
+    # padding (small matrices keep ONE ice section exactly their own size
+    # -- no blocked-layout inflation; a mesh build passes a COMMON
+    # sec_blocks so every shard's section scheme matches)
     if sec_blocks is None:
         sec_blocks = min(SEC_BLOCKS, nblkpad)
+    if e_sec is None:
+        e_sec = E_SEC
+    assert e_sec % TILE_R == 0 and e_sec >= TILE_R
     ridx = np.nonzero(haspid)[0]
     nsec = max(1, -(-nblkpad // sec_blocks))
     nblkpad = nsec * sec_blocks
+    NW = -(-nsmall // TILE_R)
+    nesec = max(1, -(-NW // e_sec))
     sec_of = pseudo2blk[ridx] // sec_blocks
-    order = np.lexsort((first[ridx], sec_of))
+    esec_of = first[ridx] // e_sec
+    order = np.lexsort((first[ridx], sec_of, esec_of))
     ridx = ridx[order]
     sec_of = sec_of[order]
-    cnt_sec = np.bincount(sec_of, minlength=nsec)
-    # EVERY section gets at least one chunk of (zero-tile) pseudo-blocks:
-    # the kernel zero-inits a section only on its first visited step, so
-    # an unvisited section would return uninitialized HBM in the output
-    pad_sec = np.maximum(-(-cnt_sec // PS_CHUNK) * PS_CHUNK, PS_CHUNK)
-    npspad = int(pad_sec.sum())
-    dst_off = np.concatenate([[0], np.cumsum(pad_sec)[:-1]])
-    pos = dst_off[sec_of] + (np.arange(len(ridx))
-                             - np.concatenate([[0], np.cumsum(cnt_sec)[:-1]]
-                                              )[sec_of])
+    esec_of = esec_of[order]
+    gkey = esec_of * nsec + sec_of
+    cnt2 = np.bincount(gkey, minlength=nesec * nsec).reshape(nesec, nsec)
+
+    # destination layout: per (esec, isec) segment padded to whole chunks.
+    # Within each esec group, EVERY ice section in its touched range gets
+    # at least one chunk of (zero-tile) pseudo-blocks: the dest-ice kernel
+    # zero-inits an ice section only on its first visited step, so a gap
+    # section would return uninitialized HBM in that group's partial
+    # output.  (Single-esec case: the range is ALL sections -- the r4
+    # global-coverage rule, bit-exact.)
+    segs = []       # (esec, isec, dst_off, count, padded)
+    egroups = []    # (chunk0, chunk1, esec, isec_lo, isec_hi)
+    npspad = 0
+    dst0 = np.zeros(nesec * nsec, np.int64)
+    for e in range(nesec):
+        if nesec > 1 and cnt2[e].sum() == 0:
+            continue
+        if nesec == 1:
+            lo, hi = 0, nsec
+        else:
+            ks = np.nonzero(cnt2[e])[0]
+            lo, hi = int(ks.min()), int(ks.max()) + 1
+        c0 = npspad // PS_CHUNK
+        for k in range(lo, hi):
+            c = int(cnt2[e, k])
+            pad = max(-(-c // PS_CHUNK) * PS_CHUNK, PS_CHUNK)
+            segs.append((e, k, npspad, c, pad))
+            dst0[e * nsec + k] = npspad
+            npspad += pad
+        egroups.append((c0, npspad // PS_CHUNK, e, lo, hi))
+    if not egroups:          # nesec > 1 but zero real pseudos
+        segs.append((0, 0, 0, 0, PS_CHUNK))
+        egroups.append((0, 1, 0, 0, 1))
+        npspad = PS_CHUNK
+
+    csort = np.concatenate([[0], np.cumsum(np.bincount(
+        gkey, minlength=nesec * nsec))])
+    pos = dst0[gkey] + (np.arange(len(ridx)) - csort[gkey])
     t_new = np.zeros((npspad,) + tiles_ps.shape[1:], tiles_ps.dtype)
     t_new[pos] = tiles_ps[ridx]
-    # trash pseudos: zero tiles, block = their section's last block, window
-    # = the section's last real window (keeps chunk bands narrow)
+    # trash pseudos: zero tiles, block = their ice section's last block,
+    # window = the segment's last real window (keeps chunk bands narrow)
+    # or the E section's first window for empty segments (stays in-bucket)
     p2_new = np.empty(npspad, np.int64)
     w_new = np.zeros((npspad, ts), np.int64)
     r_new = np.zeros((npspad, ts), bool)
-    for k in range(nsec):
-        a, b = dst_off[k], dst_off[k] + pad_sec[k]
+    for (e, k, a, c, pad) in segs:
+        b = a + pad
         p2_new[a:b] = min((k + 1) * sec_blocks, nblkpad) - 1
-        if cnt_sec[k]:
-            w_new[a:b] = first[ridx[sec_of == k][-1]]
+        if c:
+            g = e * nsec + k
+            w_new[a:b] = first[ridx[csort[g] + c - 1]]
+        else:
+            w_new[a:b] = e * e_sec
     p2_new[pos] = pseudo2blk[ridx]
     w_new[pos] = w_ps[ridx]
     r_new[pos] = realp[ridx]
     tiles_ps, w_ps, realp, pseudo2blk = t_new, w_new, r_new, p2_new
 
     # -- per-CHUNK section metadata (fused grid: one chunk per step;
-    # sections pad to whole chunks so steps never straddle sections)
+    # sections pad to whole chunks so steps never straddle sections).
+    # Group boundaries force first/last bits: an ice section revisited by
+    # the NEXT esec group accumulates into a FRESH per-group partial.
     nstep_b2 = npspad // PS_CHUNK
     step_sec = (pseudo2blk[::PS_CHUNK] // sec_blocks).astype(np.int32)
     sec_flags = np.zeros(nstep_b2, np.int32)
     firsts = np.ones(nstep_b2, bool)
     firsts[1:] = step_sec[1:] != step_sec[:-1]
-    sec_flags[firsts] |= 1
     lasts = np.ones(nstep_b2, bool)
     lasts[:-1] = step_sec[1:] != step_sec[:-1]
+    for (c0, c1, e, lo, hi) in egroups:
+        firsts[c0] = True
+        lasts[c1 - 1] = True
+    sec_flags[firsts] |= 1
     sec_flags[lasts] |= 2
 
     # chunking over pseudo rows for the scatter/gather band kernels
@@ -422,12 +484,22 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     for k in range(nchunk):
         if rs[k].any():
             base[k] = ws[k][rs[k]].min()
+        else:
+            base[k] = ws[k, 0]          # trash window (in its E section)
     base8 = (base // TILE_R) * TILE_R
     off = ws - base8[:, None]
 
     spread = np.where(rs, off, 0)
     W8 = int(min(max(int(spread.max(initial=0)) + 1, TILE_R), W8_CAP))
     W8 = -(-W8 // TILE_R) * TILE_R
+    # clamp each chunk's band start so [base8, base8+W8) stays inside its
+    # E section block (no-op whenever base8max + W8 <= e_sec, i.e. every
+    # pre-r5 passing config); offsets stay in [0, W8) because a chunk's
+    # windows never straddle its section
+    chunk_e = ws[:, 0] // e_sec
+    base8 = np.minimum(base8, (chunk_e + 1) * e_sec - W8)
+    base8 = np.maximum(base8, chunk_e * e_sec)
+    off = ws - base8[:, None]
 
     oob = rs & (off >= W8)
     ex_s, ex_c, ex_v = [], [], []
@@ -449,16 +521,11 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     ov_c = np.concatenate(ov_c + ex_c) if (ov_c or ex_c) else None
     ov_v = np.concatenate(ov_v + ex_v) if (ov_v or ex_v) else None
 
-    NW = -(-nsmall // TILE_R)
-    NWpad = max(NW, int(base8.max(initial=0)) + W8)
-    NWpad = -(-NWpad // TILE_R) * TILE_R
-    if NWpad > NWPAD_MAX:
-        raise ValueError(
-            f"E-side window space NWpad={NWpad} exceeds the VMEM-resident "
-            f"E3 accumulator budget ({NWPAD_MAX}; ~{NWPAD_MAX * TILE_R} "
-            "realized small rows).  Use the XLA engine for matrices this "
-            "wide (CouplerConfig(engine='auto') falls back automatically), "
-            "or split the small space across sheets.")
+    if nesec > 1:
+        NWpad = nesec * e_sec        # whole sections: per-esec out blocks
+    else:
+        NWpad = max(NW, int(base8.max(initial=0)) + W8)
+        NWpad = -(-NWpad // TILE_R) * TILE_R
 
     winvS = np.where(wS != 0, 1.0 / np.where(wS != 0, wS, 1.0), 0.0)
     winvI = np.where(wI != 0, 1.0 / np.where(wI != 0, wI, 1.0), 0.0)
@@ -498,7 +565,10 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
         sec_flags=jnp.asarray(sec_flags),
         ts=ts, W8=W8, NV=NV, nchunk=nchunk, nchunkpad=nchunkpad,
         npspad=npspad, nblk=nblk, nblkpad=nblkpad, NWpad=NWpad,
-        nsmall=int(nsmall), nice=int(nice), sec_blocks=sec_blocks)
+        nsmall=int(nsmall), nice=int(nice), sec_blocks=sec_blocks,
+        e_sec=int(e_sec), nesec=int(nesec),
+        egroups=tuple((int(a), int(b), int(e), int(lo), int(hi))
+                      for (a, b, e, lo, hi) in egroups))
 
 
 _TUNED = False
@@ -516,7 +586,7 @@ def _ensure_tuned():
 
 def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
                          ts: int = TS, max_tiles_per_block=None,
-                         sec_blocks=None) -> PallasBDT:
+                         sec_blocks=None, e_sec=None) -> PallasBDT:
     """Build the fused-kernel form straight from a WeightedMatrix.
 
     Packs the pseudo-block tiles DIRECTLY from the COO entries
@@ -537,7 +607,8 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
         bm = bdt_from_weighted(M, small_axis=small_axis,
                                max_tiles_per_block=max_tiles_per_block,
                                to_device=False)
-        return pallas_from_bdt(bm, nv=nv, ts=ts, sec_blocks=sec_blocks)
+        return pallas_from_bdt(bm, nv=nv, ts=ts, sec_blocks=sec_blocks,
+                               e_sec=e_sec)
     if small_axis == "rows":
         s, i, v = M.rows, M.cols, M.vals
         nsmall, nice = M.shape
@@ -551,12 +622,13 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
         i = np.zeros(1, np.int64)
         v = np.zeros(1, np.float64)
     (tiles_ps, w_ps, realp, pseudo2blk, haspid, first, nblk, nblkpad,
-     npspad) = _pseudo_from_coo(s, i, v, nsmall, nice, ts)
+     npspad) = _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=e_sec)
     return _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first,
                         np.asarray(wS, np.float64),
                         np.asarray(wI, np.float64),
                         nsmall, nice, nblk, nblkpad, nv, ts,
-                        None, None, None, sec_blocks=sec_blocks)
+                        None, None, None, sec_blocks=sec_blocks,
+                        e_sec=e_sec)
 
 
 # ---------------------------------------------------------------------------
@@ -586,8 +658,8 @@ def _dot3(a, b, dims):
     return acc
 
 
-def _fused_small_kernel(PSC, ts, W8, SEC, nstep, passes, scale, unroll,
-                        base_ref, p2b_ref, si_ref, tiles_ref, f_ref,
+def _fused_small_kernel(PSC, ts, W8, SEC, c0, eoff, nstep, passes, scale,
+                        unroll, base_ref, p2b_ref, si_ref, tiles_ref, f_ref,
                         woff_ref, winv_ref, out_ref, s_ref, p2_ref):
     """Fused dest-small: one chunk (PSC pseudo-blocks) per grid step.
 
@@ -600,7 +672,11 @@ def _fused_small_kernel(PSC, ts, W8, SEC, nstep, passes, scale, unroll,
     [p*ts, (p+1)*ts) of the (C2, 8*NV) chunk scratch.  After the loop, ONE
     one-hot band matmul (window offsets vs iota) accumulates the chunk
     into the VMEM-resident E3 accumulator.  With ``scale`` the winvS
-    multiply fuses onto the last grid step."""
+    multiply fuses onto the last grid step.
+
+    One call covers ONE E-section group: chunks [c0, c0+nstep) of the pack
+    order, E3 rows [eoff, eoff + out_rows) (``eoff`` = esec * e_sec; both
+    0 for the common single-section case)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -611,7 +687,7 @@ def _fused_small_kernel(PSC, ts, W8, SEC, nstep, passes, scale, unroll,
 
     def body(p, _):
         t = tiles_ref[p]                        # (8*ts, 128) rows r*ts+t
-        j = p2b_ref[i * PSC + p] - si_ref[i] * SEC
+        j = p2b_ref[(c0 + i) * PSC + p] - si_ref[c0 + i] * SEC
         f = f_ref[pl.ds(j, 1), :, :][0]         # (NV, 128) section row
         if passes >= 6:
             s_ref[:] = jax.lax.dot_general(
@@ -634,7 +710,7 @@ def _fused_small_kernel(PSC, ts, W8, SEC, nstep, passes, scale, unroll,
     woff = woff_ref[0:1, :]                     # (1, C2)
     u = jax.lax.broadcasted_iota(jnp.int32, (W8, C2), 0)
     band = _split3_dot(woff == u, p2_ref[:], (((1,), (0,)), ((), ())))
-    b8 = pl.multiple_of(base_ref[i], TILE_R)
+    b8 = pl.multiple_of(base_ref[c0 + i] - eoff, TILE_R)
     out_ref[pl.ds(b8, W8), :] += band
 
     if scale:
@@ -671,7 +747,7 @@ def _split3_dot(oh_bool, x, dims):
     return acc
 
 
-def _fused_ice_kernel(PSC, ts, W8, sec_blocks, scale, unroll,
+def _fused_ice_kernel(PSC, ts, W8, sec_blocks, c0, eoff, scale, unroll,
                       base_ref, p2b_ref, si_ref, fl_ref,
                       e3_ref, tiles_ref, woffT_ref, winv_ref,
                       out_ref, fwin_ref, f_ref):
@@ -683,15 +759,20 @@ def _fused_ice_kernel(PSC, ts, W8, sec_blocks, scale, unroll,
     tiles), contracted on the MXU, and RMW'd into the section accumulator
     ((sec_blocks, NV, 128), VMEM-resident; the out BlockSpec rides the
     scalar-prefetched section index — zero-init on section entry (flag
-    bit0), weight scale on exit (bit1))."""
+    bit0), weight scale on exit (bit1)).
+
+    One call covers ONE E-section group: chunks [c0, c0+nstep), E3 input
+    block = that section (``eoff`` = esec * e_sec), output = the PARTIAL
+    over the group's ice-section range (summed across groups by the
+    caller when there is more than one)."""
     i = pl.program_id(0)
 
-    @pl.when((fl_ref[i] & 1) == 1)
+    @pl.when((fl_ref[c0 + i] & 1) == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     C2 = PSC * ts
-    b8 = pl.multiple_of(base_ref[i], TILE_R)
+    b8 = pl.multiple_of(base_ref[c0 + i] - eoff, TILE_R)
     band = e3_ref[pl.ds(b8, W8), :]             # (W8, 8*NV)
     woffT = woffT_ref[:]                        # (C2, 1)
     u = jax.lax.broadcasted_iota(jnp.int32, (C2, W8), 1)
@@ -707,7 +788,7 @@ def _fused_ice_kernel(PSC, ts, W8, sec_blocks, scale, unroll,
         val = jax.lax.dot_general(
             f_ref[:], tiles_ref[p], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH)
-        j = p2b_ref[i * PSC + p] - si_ref[i] * sec_blocks
+        j = p2b_ref[(c0 + i) * PSC + p] - si_ref[c0 + i] * sec_blocks
         out_ref[pl.ds(j, 1), :, :] += val[None]
         return 0
 
@@ -717,89 +798,107 @@ def _fused_ice_kernel(PSC, ts, W8, sec_blocks, scale, unroll,
     jax.lax.fori_loop(0, PSC, body, 0, unroll=PSC if unroll else 1)
 
     if scale:
-        @pl.when((fl_ref[i] & 2) == 2)
+        @pl.when((fl_ref[c0 + i] & 2) == 2)
         def _():
             out_ref[:] = out_ref[:] * winv_ref[:]
 
 
 def _mk_fused_small(pm: PallasBDT, interpret: bool, scale: bool = False,
-                    passes=None):
+                    passes=None, group=None):
+    """One dest-small kernel call for one E-section group.  ``group``
+    defaults to the sole group of a single-section pack (the common case:
+    the full E3 accumulator is VMEM-resident and one call covers every
+    chunk)."""
     PSC, ts, NV, W8 = PS_CHUNK, pm.ts, pm.NV, pm.W8
     C2 = PSC * ts
-    nstep = pm.nchunk
     SEC = pm.sec_blocks
+    c0, c1, esec, _lo, _hi = group if group is not None else pm.egroups[0]
+    nstep = c1 - c0
+    rows = pm.e_sec if pm.nesec > 1 else pm.NWpad
+    eoff = esec * pm.e_sec
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nstep,),
         in_specs=[
             pl.BlockSpec((PSC, TILE_R * ts, TILE_C),
-                         lambda i, b, p2, si: (i, 0, 0),
+                         lambda i, b, p2, si: (c0 + i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SEC, NV, TILE_C),
-                         lambda i, b, p2, si: (si[i], 0, 0),
+                         lambda i, b, p2, si: (si[c0 + i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, C2), lambda i, b, p2, si: (i, 0),
+            pl.BlockSpec((TILE_R, C2), lambda i, b, p2, si: (c0 + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pm.NWpad, TILE_R * NV),
-                         lambda i, b, p2, si: (0, 0),
+            pl.BlockSpec((rows, TILE_R * NV),
+                         lambda i, b, p2, si: (esec, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((pm.NWpad, TILE_R * NV),
+        out_specs=pl.BlockSpec((rows, TILE_R * NV),
                                lambda i, b, p2, si: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((TILE_R * ts, NV), jnp.float32),
                         pltpu.VMEM((C2, TILE_R * NV), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_fused_small_kernel, PSC, ts, W8, SEC, nstep,
-                          passes or PRODS_PASSES, scale, not interpret),
+        functools.partial(_fused_small_kernel, PSC, ts, W8, SEC, c0, eoff,
+                          nstep, passes or PRODS_PASSES, scale,
+                          not interpret),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((pm.NWpad, TILE_R * NV), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, TILE_R * NV), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * pm.tiles2.size * NV
-            + 2 * pm.nchunk * W8 * C2 * TILE_R * NV,
-            bytes_accessed=pm.tiles2.size * 4, transcendentals=0),
+            flops=(2 * nstep * PSC * TILE_R * ts * TILE_C * NV
+                   + 2 * nstep * W8 * C2 * TILE_R * NV),
+            bytes_accessed=nstep * PSC * TILE_R * ts * TILE_C * 4,
+            transcendentals=0),
     )
 
 
-def _mk_fused_ice(pm: PallasBDT, interpret: bool, scale: bool = False):
+def _mk_fused_ice(pm: PallasBDT, interpret: bool, scale: bool = False,
+                  group=None):
+    """One dest-ice kernel call for one E-section group (see
+    ``_mk_fused_small``); the output is the partial over the group's
+    ice-section range [lo, hi)."""
     PSC, ts, NV, W8 = PS_CHUNK, pm.ts, pm.NV, pm.W8
     C2 = PSC * ts
-    nstep = pm.nchunk
     SEC = pm.sec_blocks
+    c0, c1, esec, lo, hi = group if group is not None else pm.egroups[0]
+    nstep = c1 - c0
+    rows = pm.e_sec if pm.nesec > 1 else pm.NWpad
+    eoff = esec * pm.e_sec
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nstep,),
         in_specs=[
-            pl.BlockSpec((pm.NWpad, TILE_R * NV),
-                         lambda i, b, p2, si, fl: (0, 0),
+            pl.BlockSpec((rows, TILE_R * NV),
+                         lambda i, b, p2, si, fl: (esec, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PSC, TILE_R * ts, TILE_C),
-                         lambda i, b, p2, si, fl: (i, 0, 0),
+                         lambda i, b, p2, si, fl: (c0 + i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C2, 1), lambda i, b, p2, si, fl: (i, 0),
+            pl.BlockSpec((C2, 1), lambda i, b, p2, si, fl: (c0 + i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SEC, 1, TILE_C),
-                         lambda i, b, p2, si, fl: (si[i], 0, 0),
+                         lambda i, b, p2, si, fl: (si[c0 + i], 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((SEC, NV, TILE_C),
-                               lambda i, b, p2, si, fl: (si[i], 0, 0),
+                               lambda i, b, p2, si, fl: (si[c0 + i] - lo,
+                                                         0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((C2, TILE_R * NV), jnp.float32),
                         pltpu.VMEM((TILE_R * ts, NV), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_fused_ice_kernel, PSC, ts, W8, SEC, scale,
-                          not interpret),
+        functools.partial(_fused_ice_kernel, PSC, ts, W8, SEC, c0, eoff,
+                          scale, not interpret),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((pm.nblkpad, NV, TILE_C),
+        out_shape=jax.ShapeDtypeStruct(((hi - lo) * SEC, NV, TILE_C),
                                        jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * pm.tiles2.size * NV
-            + 2 * pm.nchunk * W8 * C2 * TILE_R * NV,
-            bytes_accessed=pm.tiles2.size * 4, transcendentals=0),
+            flops=(2 * nstep * PSC * TILE_R * ts * TILE_C * NV
+                   + 2 * nstep * W8 * C2 * TILE_R * NV),
+            bytes_accessed=nstep * PSC * TILE_R * ts * TILE_C * 4,
+            transcendentals=0),
     )
 
 
@@ -832,13 +931,28 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
         interpret = _interpret_default()
     # with no overflow the winvS scale fuses into the kernel's last step;
     # overflow entries must be added unscaled first, so the scale waits
+    # (per-esec calls may fuse it too: groups partition the E rows)
     in_scale = scale and pm.ov_s is None
     # Mosaic rejects x64 grid indices; the kernels are all-f32/int32, so
     # trace them with x64 scoped off (callers may run a global-x64 ledger).
     with jax.enable_x64(False):
-        acc = _mk_fused_small(pm, interpret, in_scale, passes)(
-            pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2, fb,
-            pm.w_off, pm.winvS_e3)
+        if pm.nesec == 1:
+            acc = _mk_fused_small(pm, interpret, in_scale, passes)(
+                pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2, fb,
+                pm.w_off, pm.winvS_e3)
+        else:
+            gmap = {g[2]: g for g in pm.egroups}
+            parts = []
+            for e in range(pm.nesec):
+                if e in gmap:
+                    parts.append(_mk_fused_small(
+                        pm, interpret, in_scale, passes, gmap[e])(
+                        pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2, fb,
+                        pm.w_off, pm.winvS_e3))
+                else:           # E section with no matrix entries
+                    parts.append(jnp.zeros((pm.e_sec, TILE_R * pm.NV),
+                                           jnp.float32))
+            acc = jnp.concatenate(parts, axis=0)
     if in_scale:
         return acc
     if pm.ov_s is not None:
@@ -860,12 +974,24 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
     if interpret is None:
         interpret = _interpret_default()
     # the fused kernel folds in the pseudo→true segment-sum and (overflow-
-    # free) the weight scale; with overflow the scale waits for the COO add
-    in_scale = scale and pm.ov_s is None
+    # free) the weight scale; with overflow the scale waits for the COO
+    # add, and with multiple E-section groups it waits for the cross-group
+    # partial sum (an ice section can receive mass from several E sections)
+    in_scale = scale and pm.ov_s is None and pm.nesec == 1
     with jax.enable_x64(False):   # Mosaic rejects x64 grid indices
-        out = _mk_fused_ice(pm, interpret, in_scale)(
-            pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
-            e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
+        if pm.nesec == 1:
+            out = _mk_fused_ice(pm, interpret, in_scale)(
+                pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
+                e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
+        else:
+            SEC = pm.sec_blocks
+            out = jnp.zeros((pm.nblkpad, pm.NV, TILE_C), jnp.float32)
+            for g in pm.egroups:
+                part = _mk_fused_ice(pm, interpret, False, g)(
+                    pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
+                    e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
+                _c0, _c1, _e, lo, hi = g
+                out = out.at[lo * SEC:hi * SEC].add(part)
     if in_scale:
         return out
     if pm.ov_s is not None:

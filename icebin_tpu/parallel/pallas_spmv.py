@@ -141,7 +141,7 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     Reference: PETSc DA handles ragged decompositions transparently [U];
     SURVEY.md section 5.7.
     """
-    from icebin_tpu.ops.pallas_bdt import SEC_BLOCKS, TS
+    from icebin_tpu.ops.pallas_bdt import E_SEC, SEC_BLOCKS, TS
     ts = ts or TS
     n = int(mesh.devices.size)
     if small_axis == "rows":
@@ -150,6 +150,18 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     else:
         s, i, v = M.cols, M.rows, M.vals
         nice, nsmall = M.shape
+    # the shard_map body is ONE program over COMMON statics, so every shard
+    # must pack as a single E-section call: widen e_sec to cover the E
+    # space (VMEM still fits to ~1.5x the single-device section default;
+    # beyond that the per-esec call machinery would need per-shard group
+    # tables, which the common-statics stacking cannot express)
+    NW = -(-int(nsmall) // TILE_R)
+    e_sec = max(E_SEC, -(-NW // TILE_R) * TILE_R)
+    if e_sec > 6144:
+        raise NotImplementedError(
+            f"mesh E space of {nsmall} rows ({NW} windows) exceeds the "
+            "single-call VMEM budget (~6144 windows on v5e); split the "
+            "small space across sheets for mesh runs")
     if cells_per_shard is None:
         # pad the block count to a device multiple (trailing shards may own
         # fewer — or zero — true columns; their tiles are all-zero padding)
@@ -174,7 +186,7 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
         # stacked sec_idx/sec_flags agree with the template statics
         shards.append(pallas_from_weighted(
             Msub, small_axis="rows", nv=nv, ts=ts,
-            sec_blocks=min(SEC_BLOCKS, -(-bpd // 8) * 8)))
+            sec_blocks=min(SEC_BLOCKS, -(-bpd // 8) * 8), e_sec=e_sec))
 
     # pad every shard to common statics
     from icebin_tpu.ops.pallas_bdt import CH_GROUP
@@ -256,11 +268,16 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
             for name in ("ov_s", "ov_c", "ov_v"):
                 stacks[name].append(None)
 
+    assert all(p.nesec == 1 for p in shards)     # e_sec covers NW above
     template = dataclasses.replace(
         shards[0],
         **{name: None for name in PallasBDT._ARRAYS},
         npspad=npspad, nchunk=nchunk, nchunkpad=nchunkpad, W8=W8,
-        NWpad=NWpad, nblkpad=nblkpad, nice=nblkpad * TILE_C)
+        NWpad=NWpad, nblkpad=nblkpad, nice=nblkpad * TILE_C,
+        # common single-group table at the COMMON chunk count / section
+        # range (each shard's own egroups described its pre-pad layout)
+        nesec=1,
+        egroups=((0, nchunk, 0, 0, nblkpad // shards[0].sec_blocks),))
     sh = NamedSharding(mesh, P(ICE_AXIS))
     stacked = {}
     for name, parts in stacks.items():

@@ -96,15 +96,34 @@ def test_device_tunables_table():
     assert pb.W8_CAP == t["w8_cap"]
 
 
-def test_huge_E_space_gate():
-    """E spaces beyond the VMEM-resident E3 budget raise clearly at pack
-    time, and the coupler's auto engine falls back to XLA instead."""
-    from icebin_tpu.ops.pallas_bdt import NWPAD_MAX, pallas_from_weighted
+def test_huge_E_space_sectioned():
+    """E spaces beyond one VMEM-resident E3 section no longer gate the
+    Pallas path: the pack splits into per-E-section kernel calls (r5; was
+    a hard ValueError through r4).  Both directions match the f64 COO
+    reference."""
+    from icebin_tpu.ops.pallas_bdt import (E_SEC, apply_ice, apply_small,
+                                           pallas_from_weighted)
     from icebin_tpu.regrid.sparse import WeightedMatrix
-    nsmall = (NWPAD_MAX + 8) * 8
+    nsmall = (E_SEC + 8) * 8              # one window past one section
     n = 4096
+    rng = np.random.default_rng(7)
     rows = np.linspace(0, nsmall - 1, n).astype(np.int64)
+    vals = rng.uniform(0.5, 1.5, n)
     M = WeightedMatrix(rows=rows, cols=np.arange(n, dtype=np.int64),
-                       vals=np.ones(n), shape=(nsmall, n))
-    with pytest.raises(ValueError, match="E3 accumulator budget"):
-        pallas_from_weighted(M, small_axis="rows")
+                       vals=vals, shape=(nsmall, n))
+    pm = pallas_from_weighted(M, small_axis="rows")
+    assert pm.nesec == 2 and len(pm.egroups) == 2
+
+    dense = np.zeros((nsmall, n))
+    dense[rows, np.arange(n)] = vals
+    wS, wI = dense.sum(1), dense.sum(0)
+
+    f = rng.uniform(-1.0, 1.0, (2, n)).astype(np.float32)
+    ref = (dense @ f.T).T / np.where(wS == 0, 1.0, wS)[None, :]
+    out = np.asarray(apply_small(pm, f, scale=True))
+    assert np.allclose(out, ref, atol=1e-4)
+
+    g = rng.uniform(-1.0, 1.0, (2, nsmall)).astype(np.float32)
+    refi = (dense.T @ g.T).T / np.where(wI == 0, 1.0, wI)[None, :]
+    outi = np.asarray(apply_ice(pm, g, scale=True))
+    assert np.allclose(outi, refi, atol=1e-4)
