@@ -59,6 +59,10 @@ ROOFS_GBPS = {  # nominal HBM bandwidth per chip
     "v5lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0,
     "v6e": 1640.0, "v6": 1640.0,
 }
+PRACTICAL_ROOFS_GBPS = {  # measured r+w stream roof (tools/bench_roof.py):
+    # what a pure HBM copy actually achieves on the chip -- ~90% of nominal
+    "v5lite": 740.0, "v5e": 740.0,
+}
 
 
 def nominal_roof():
@@ -68,6 +72,15 @@ def nominal_roof():
         if k in kind:
             return v
     return 819.0
+
+
+def practical_roof(nominal):
+    import jax
+    kind = jax.devices()[0].device_kind.lower().replace(" ", "")
+    for k, v in PRACTICAL_ROOFS_GBPS.items():
+        if k in kind:
+            return v
+    return 0.9 * nominal      # unmeasured chip: assume the v5e-like ratio
 
 
 def build_matrices():
@@ -196,13 +209,22 @@ def main():
 
     gbps = per_sheet["greenland"]["gbps"]
     roof = nominal_roof()
+    roof_p = practical_roof(roof)
 
     coupler_stats = bench_coupler()
     print(json.dumps({
         "metric": "regrid_spmm_effective_GBps",
         "value": round(gbps, 2), "unit": "GB/s",
         "vs_baseline": round(gbps / (0.70 * roof), 4),
+        # context: the same ratio against the MEASURED stream roof (what a
+        # pure HBM copy achieves; no kernel can exceed it).  The headline
+        # vs_baseline stays on the nominal basis for cross-round
+        # comparability -- note each fusion round shrinks the byte
+        # numerator for the same logical work (see header; rt_us is the
+        # cross-round speed metric).
+        "vs_baseline_practical_roof": round(gbps / (0.70 * roof_p), 4),
         "roof_nominal_GBps": roof,
+        "roof_practical_GBps": roof_p,
         "rt_us": round(per_sheet["greenland"]["rt_us"], 1),
         # bytes ONE round trip streams under the current kernel design --
         # the denominator context for cross-round GB/s comparisons (each

@@ -28,7 +28,13 @@ sec_blocks {512, 1024, 2048} flat within noise in the r3 sweep, and 512
 measured WORSE than 1024 end-to-end once the r4 dest-small kernel began
 streaming the field by section (more sections -> more per-section chunk
 padding: config #3 rt 179 us at 512 vs 169 at 1024) -> 1024; the r4
-field-section double buffer is paid for by the lower NWPAD_MAX.  v5p (v5e-generation core, larger HBM
+field-section double buffer is paid for by the lower E3-section budget
+(ops.pallas_bdt E_SEC).  RE-CONFIRMED on the r5 (E-sectioned) kernels
+with two-point timing on the REAL config-#3 matrix (tools/tune_real.py,
+2026-08): {128/1024: 169.9 us, 128/512: 177.5, 256/512: 206.5, 64/512:
+182.1, 256/768: 184.4} -> 128/1024 stands.  (tools/autotune.py's chained
+timing rides relay-latency noise and once suggested 256/512; trust the
+two-point tool for ordering.)  v5p (v5e-generation core, larger HBM
 bandwidth 2765 GB/s, same 16 MB-class VMEM) starts from the v5e entry;
 v4/v6e likewise until swept on real chips.
 """

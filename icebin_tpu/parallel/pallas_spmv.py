@@ -150,18 +150,6 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     else:
         s, i, v = M.cols, M.rows, M.vals
         nice, nsmall = M.shape
-    # the shard_map body is ONE program over COMMON statics, so every shard
-    # must pack as a single E-section call: widen e_sec to cover the E
-    # space (VMEM still fits to ~1.5x the single-device section default;
-    # beyond that the per-esec call machinery would need per-shard group
-    # tables, which the common-statics stacking cannot express)
-    NW = -(-int(nsmall) // TILE_R)
-    e_sec = max(E_SEC, -(-NW // TILE_R) * TILE_R)
-    if e_sec > 6144:
-        raise NotImplementedError(
-            f"mesh E space of {nsmall} rows ({NW} windows) exceeds the "
-            "single-call VMEM budget (~6144 windows on v5e); split the "
-            "small space across sheets for mesh runs")
     if cells_per_shard is None:
         # pad the block count to a device multiple (trailing shards may own
         # fewer — or zero — true columns; their tiles are all-zero padding)
@@ -169,6 +157,29 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
         cells_per_shard = (nblk // n) * TILE_C
     cps = int(cells_per_shard)
     bpd = -(-cps // TILE_C)
+
+    # the shard_map body is ONE program over COMMON statics, so every shard
+    # must pack as a single E-section call: widen e_sec to cover the whole
+    # E space.  The per-call VMEM bound depends on the shard's (small)
+    # field-section size, so mesh shards afford MUCH wider single sections
+    # than the single-device default -- budget it explicitly (the per-esec
+    # call machinery would need per-shard group tables, which the
+    # common-statics stacking cannot express).
+    from icebin_tpu.ops.pallas_bdt import PS_CHUNK
+    NW = -(-int(nsmall) // TILE_R)
+    e_sec = max(E_SEC, -(-NW // TILE_R) * TILE_R)
+    sec_cap = min(SEC_BLOCKS, -(-bpd // 8) * 8)
+    budget = 15 * 2**20                          # 16 MB scoped VMEM, margin
+    tiles_db = 2 * PS_CHUNK * (ts or TS) * TILE_R * TILE_C * 4
+    field_db = 2 * sec_cap * nv * TILE_C * 4
+    scratch = PS_CHUNK * (ts or TS) * TILE_R * nv * 4 + 2**18
+    e_sec_max = (budget - tiles_db - field_db - scratch) \
+        // (2 * TILE_R * nv * 4)                 # E3 out + winvS_e3 rows
+    if e_sec > e_sec_max:
+        raise NotImplementedError(
+            f"mesh E space of {nsmall} rows ({NW} windows) exceeds the "
+            f"single-call VMEM budget ({e_sec_max} windows at this shard "
+            "geometry); split the small space across sheets for mesh runs")
 
     # global small-space weights (per-shard builds see only partial sums)
     wS_glob = np.bincount(s, weights=v, minlength=nsmall)

@@ -82,26 +82,31 @@ def main():
             pb._TUNED = True            # pin the sweep values
             total = 0.0
             ok = True
-            for M in mats:
-                pm = pb.pallas_from_weighted(M, small_axis="rows", nv=8)
-                fI = jnp.asarray(rng.uniform(0.5, 1.5, (8, pm.nice)),
-                                 jnp.float32)
-                fb = pm.ice_to_blocked(fI)
-                # conservation gate per config
-                e3 = pb.apply_small_blocked(pm, fb, scale=True)
-                dev = np.asarray(pm.e3_to_small(e3)[0], np.float64)
-                m_dev = np.sum(np.where(np.isfinite(dev), dev, 0.0)
-                               * np.asarray(pm.wS, np.float64))
-                m_src = np.sum(np.asarray(fI[0], np.float64)
-                               * np.asarray(pm.wI, np.float64))
-                if abs(m_dev - m_src) / abs(m_src) > 1e-5:
-                    ok = False
-                    break
-                ta = timeit(lambda p, f: pb.apply_small_blocked(p, f),
-                            (pm,), fb)
-                tb = timeit(lambda p, x: pb.apply_ice_blocked(p, x),
-                            (pm,), e3)
-                total += ta + tb
+            try:
+                for M in mats:
+                    pm = pb.pallas_from_weighted(M, small_axis="rows", nv=8)
+                    fI = jnp.asarray(rng.uniform(0.5, 1.5, (8, pm.nice)),
+                                     jnp.float32)
+                    fb = pm.ice_to_blocked(fI)
+                    # conservation gate per config
+                    e3 = pb.apply_small_blocked(pm, fb, scale=True)
+                    dev = np.asarray(pm.e3_to_small(e3)[0], np.float64)
+                    m_dev = np.sum(np.where(np.isfinite(dev), dev, 0.0)
+                                   * np.asarray(pm.wS, np.float64))
+                    m_src = np.sum(np.asarray(fI[0], np.float64)
+                                   * np.asarray(pm.wI, np.float64))
+                    if abs(m_dev - m_src) / abs(m_src) > 1e-5:
+                        ok = False
+                        break
+                    ta = timeit(lambda p, f: pb.apply_small_blocked(p, f),
+                                (pm,), fb)
+                    tb = timeit(lambda p, x: pb.apply_ice_blocked(p, x),
+                                (pm,), e3)
+                    total += ta + tb
+            except Exception as exc:     # e.g. scoped-VMEM OOM: skip config
+                print(f"  skip ({type(exc).__name__}: "
+                      f"{str(exc).splitlines()[0][:90]})", flush=True)
+                ok = False
             results[(psc, sec)] = total if ok else float("inf")
             print(f"ps_chunk={psc:4d} sec_blocks={sec:5d}: "
                   f"{'FAIL' if not ok else f'{1e6*total:8.1f} us total rt'}",
