@@ -179,3 +179,52 @@ def test_coupler_auto_engine_no_gate():
     from icebin_tpu.coupler import coupler as C
     src = inspect.getsource(C.IceSheetCoupler._engine)
     assert "NWPAD_MAX" not in src
+
+
+def test_coupler_wide_E_pallas_end_to_end():
+    """A global-EC-class E space (wider than one E3 section) runs the
+    PRODUCTION coupler on the Pallas engine end-to-end: packs multi-
+    section, transports correctly (IvE matches the canonical oracle),
+    and the ledger conservation holds."""
+    import jax.numpy as jnp
+    from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler
+    from icebin_tpu.grid.proj import PlateCarree
+    from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
+    from icebin_tpu.ops.pallas_bdt import E_SEC
+    from icebin_tpu.regrid.gcmregridder import GCMRegridder
+
+    scale = 25e3
+    specA = GridSpecLonLat(lonb=np.linspace(0.0, 40.0, 97),
+                           latb=np.linspace(30.0, 80.0, 97))
+    specI = GridSpecXY(xb=np.linspace(0.0, 40.0 * scale, 33),
+                       yb=np.linspace(30.0 * scale, 80.0 * scale, 33),
+                       projection=PlateCarree(scale=scale))
+    gr = GCMRegridder(specA, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3000.0])
+    gr.add_sheet("s", specI, subdiv=1)
+    assert gr.nE > E_SEC * 8                   # wider than one section
+    cfg = CouplerConfig(dt=86400.0 * 30, regen_every=10, engine="pallas")
+    cp = GCMCoupler(gr, cfg)
+    sc = cp.sheets["s"]
+    vw = sc.mat("IvE")
+    assert vw.pm.nesec >= 2                    # multi-section pack engaged
+
+    # transport parity vs the canonical matrix oracle
+    rng = np.random.default_rng(5)
+    fE = rng.uniform(1.0, 2.0, gr.nE)
+    got = np.asarray(sc.apply("IvE", jnp.asarray(fE)), np.float64)
+    ref = sc.rm.matrix("IvE", cfg.params).apply(fE, scale=True,
+                                                fill=np.nan)
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(np.where(m, got, 0.0),
+                               np.where(m, ref, 0.0),
+                               rtol=2e-5, atol=1e-7 * np.abs(ref[m]).max())
+
+    # one production step: books must balance
+    f = np.zeros((4, gr.nE), np.float32)
+    f[0] = 1e-5 * rng.uniform(0.5, 1.0, gr.nE)
+    f[3] = -10.0
+    cp.couple({"s": jnp.asarray(f)})
+    row = cp.ledger.to_rows()[-1]
+    rel = abs(row["s.mass_in_E"] - row["s.mass_delivered_I"]) \
+        / abs(row["s.mass_in_E"])
+    assert rel < 1e-10
