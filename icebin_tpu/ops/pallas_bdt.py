@@ -114,6 +114,16 @@ E_SEC = 4096        # windows per E3 accumulator SECTION.  Each kernel call
                     # single-call r4 kernel.
 NWPAD_MAX = E_SEC   # back-compat alias (the pre-r5 hard gate; E spaces of
                     # any width now stay on the Pallas path)
+SMALL_SLOTS = 1     # dest-small product-scratch parity slots; >1 breaks
+                    # the per-pseudo scratch reuse chain (bit-exact).  A/B
+                    # on the real config-#3 chain measured NO gain
+                    # (tools/probe_ab1.py: 172.6 us at 1 vs 175.4 at 2
+                    # with the batched ice form), so the r3 form stays.
+ICE_BATCHED = False  # dest-ice: ONE batched MXU contraction per chunk +
+                    # chunk-level unfold (bit-exact alternative to the
+                    # per-pseudo slice->dot chain; measured ~equal on
+                    # v5e -- see tools/probe_ab1.py -- kept selectable
+                    # for other device kinds)
 
 
 def _interpret_default() -> bool:
@@ -252,19 +262,19 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS,
     tiles = np.asarray(bm.tiles, np.float32)          # (nblk, T, 8, 128)
     row_start = np.asarray(bm.row_start, np.int64)
     nsmall, nice = bm.nsmall, bm.nice
-    real = np.abs(tiles).sum(axis=(2, 3)) > 0         # (nblk, T)
 
-    ent_s, ent_c, ent_v = [], [], []
-    for b, t in zip(*np.nonzero(real)):
-        rr, cc = np.nonzero(tiles[b, t])
-        ent_s.append(row_start[b, t] + rr)
-        ent_c.append(b * TILE_C + cc)
-        ent_v.append(np.asarray(tiles[b, t], np.float64)[rr, cc])
-    if not ent_s:
-        ent_s, ent_c, ent_v = [[0]], [[0]], [[0.0]]
-    s = np.concatenate(ent_s)
-    c = np.concatenate(ent_c)
-    v = np.concatenate(ent_v)
+    # ONE vectorized explode (a per-tile Python loop here regressed to
+    # minutes-scale for large matrices; non-real pad tiles are all-zero so
+    # plain nonzero is the real-window filter)
+    bb, tt, rr, cc = np.nonzero(tiles)
+    if len(bb) == 0:
+        s = np.zeros(1, np.int64)
+        c = np.zeros(1, np.int64)
+        v = np.zeros(1, np.float64)
+    else:
+        s = row_start[bb, tt] + rr
+        c = bb * TILE_C + cc
+        v = tiles[bb, tt, rr, cc].astype(np.float64)
     (tiles_ps, w_ps, realp, pseudo2blk, haspid, first, nblk, nblkpad,
      npspad) = _pseudo_from_coo(s, c, v, nsmall, nice, ts, e_sec=e_sec)
     return _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first,
@@ -493,9 +503,12 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     W8 = int(min(max(int(spread.max(initial=0)) + 1, TILE_R), W8_CAP))
     W8 = -(-W8 // TILE_R) * TILE_R
     # clamp each chunk's band start so [base8, base8+W8) stays inside its
-    # E section block (no-op whenever base8max + W8 <= e_sec, i.e. every
-    # pre-r5 passing config); offsets stay in [0, W8) because a chunk's
-    # windows never straddle its section
+    # E section block.  No-op only when max(base8) + W8 <= e_sec; a
+    # single-section config whose band would cross the section end gets
+    # its base pulled down and any now-out-of-band tiles demoted to the
+    # COO overflow epilogue below (results identical, layout/perf differ).
+    # Offsets stay in [0, W8) because a chunk's windows never straddle
+    # its section.
     chunk_e = ws[:, 0] // e_sec
     base8 = np.minimum(base8, (chunk_e + 1) * e_sec - W8)
     base8 = np.maximum(base8, chunk_e * e_sec)
@@ -685,26 +698,33 @@ def _fused_small_kernel(PSC, ts, W8, SEC, c0, eoff, nstep, passes, scale,
 
     dims = (((1,), (1,)), ((), ()))
 
-    def body(p, _):
+    def body(p, sl):
         t = tiles_ref[p]                        # (8*ts, 128) rows r*ts+t
         j = p2b_ref[(c0 + i) * PSC + p] - si_ref[c0 + i] * SEC
         f = f_ref[pl.ds(j, 1), :, :][0]         # (NV, 128) section row
         if passes >= 6:
-            s_ref[:] = jax.lax.dot_general(
+            s_ref[sl] = jax.lax.dot_general(
                 t, f, dims, preferred_element_type=jnp.float32,
                 precision=HIGH)
         else:
-            s_ref[:] = _dot3(t, f, dims)
+            s_ref[sl] = _dot3(t, f, dims)
         # (8*ts, NV) rows r*ts+t -> (ts, 8*NV) lanes r*NV+v
         fold = jnp.concatenate(
-            [s_ref[q * ts:(q + 1) * ts, :] for q in range(TILE_R)], axis=1)
+            [s_ref[sl, q * ts:(q + 1) * ts, :] for q in range(TILE_R)],
+            axis=1)
         p2_ref[pl.ds(p * ts, ts), :] = fold
-        return 0
 
-    # full unroll lets Mosaic software-pipeline the per-pseudo chain
-    # (fori_loop supports only unroll in {1, num_steps}); interpret mode
-    # keeps unroll=1 -- a 128x-unrolled jaxpr makes CPU tests crawl
-    jax.lax.fori_loop(0, PSC, body, 0, unroll=PSC if unroll else 1)
+    # unrolled Python loop with PARITY-ALTERNATED product scratch: without
+    # it, iteration p+1's dot must wait for p's fold to drain the single
+    # buffer -- a 128-long serial VPU<->MXU chain Mosaic cannot pipeline
+    # (r4 probe: tools/probe_slots.py).  Interpret mode keeps the rolled
+    # fori_loop -- a 128x-unrolled jaxpr makes CPU tests crawl.
+    if unroll:
+        for p in range(PSC):
+            body(p, p % SMALL_SLOTS)
+    else:
+        jax.lax.fori_loop(0, PSC,
+                          lambda p, _: (body(p, 0), 0)[1], 0)
 
     C2 = PSC * ts
     woff = woff_ref[0:1, :]                     # (1, C2)
@@ -750,13 +770,17 @@ def _split3_dot(oh_bool, x, dims):
 def _fused_ice_kernel(PSC, ts, W8, sec_blocks, c0, eoff, scale, unroll,
                       base_ref, p2b_ref, si_ref, fl_ref,
                       e3_ref, tiles_ref, woffT_ref, winv_ref,
-                      out_ref, fwin_ref, f_ref):
+                      out_ref, fwin_ref, fu_ref, va_ref):
     """Fused dest-ice: one chunk per grid step.
 
     The one-hot-transpose band matmul gathers E3 window rows into the
-    (C2, 8*NV) chunk scratch; each pseudo-block's rows are UNfolded (8
-    lane slices written as contiguous scratch rows, matching the r-major
-    tiles), contracted on the MXU, and RMW'd into the section accumulator
+    (C2, 8*NV) chunk scratch; the unfold to r-major rows runs as 8
+    CHUNK-level lane-slice + leading-dim-reshape ops into (PSC, 8*ts,
+    NV); ONE BATCHED MXU contraction (batch dim = pseudo) produces every
+    pseudo's (NV, 128) product at once (round 4: the per-pseudo
+    slice->dot->RMW chain through one shared scratch serialized VPU
+    against MXU ~128 deep -- tools/probe_batch.py; the batched form is
+    bit-exact); the products then RMW into the section accumulator
     ((sec_blocks, NV, 128), VMEM-resident; the out BlockSpec rides the
     scalar-prefetched section index — zero-init on section entry (flag
     bit0), weight scale on exit (bit1)).
@@ -781,16 +805,35 @@ def _fused_ice_kernel(PSC, ts, W8, sec_blocks, c0, eoff, scale, unroll,
 
     NV = fwin_ref.shape[1] // TILE_R
 
-    def body(p, _):
-        fw = fwin_ref[pl.ds(p * ts, ts), :]     # (ts, 8*NV) lanes r*NV+v
-        for q in range(TILE_R):                 # -> (8*ts, NV) rows r*ts+t
-            f_ref[q * ts:(q + 1) * ts, :] = fw[:, q * NV:(q + 1) * NV]
-        val = jax.lax.dot_general(
-            f_ref[:], tiles_ref[p], (((0,), (0,)), ((), ())),
+    if ICE_BATCHED:
+        # chunk-level unfold: lanes r*NV+v of fwin -> rows r*ts+t of fu
+        # ((C2, NV) lane slice reshaped (PSC, ts, NV): leading dims only --
+        # Mosaic rejects 8-lane-minor shape casts, not these)
+        for q in range(TILE_R):
+            blk = fwin_ref[:, q * NV:(q + 1) * NV]
+            fu_ref[:, q * ts:(q + 1) * ts, :] = blk.reshape(PSC, ts, NV)
+
+        # one batched contraction for the whole chunk (K = 8*ts/pseudo)
+        va_ref[:] = jax.lax.dot_general(
+            fu_ref[:], tiles_ref[:], (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=HIGH)
-        j = p2b_ref[(c0 + i) * PSC + p] - si_ref[c0 + i] * sec_blocks
-        out_ref[pl.ds(j, 1), :, :] += val[None]
-        return 0
+
+        def body(p, _):
+            j = p2b_ref[(c0 + i) * PSC + p] - si_ref[c0 + i] * sec_blocks
+            out_ref[pl.ds(j, 1), :, :] += va_ref[pl.ds(p, 1)]
+            return 0
+    else:
+        def body(p, _):
+            fw = fwin_ref[pl.ds(p * ts, ts), :]   # (ts, 8*NV) lanes r*NV+v
+            for q in range(TILE_R):               # -> (8*ts, NV) rows
+                fu_ref[0, q * ts:(q + 1) * ts, :] = \
+                    fw[:, q * NV:(q + 1) * NV]
+            val = jax.lax.dot_general(
+                fu_ref[0], tiles_ref[p], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGH)
+            j = p2b_ref[(c0 + i) * PSC + p] - si_ref[c0 + i] * sec_blocks
+            out_ref[pl.ds(j, 1), :, :] += val[None]
+            return 0
 
     # full unroll lets Mosaic software-pipeline the per-pseudo chain
     # (fori_loop supports only unroll in {1, num_steps}); interpret mode
@@ -835,7 +878,8 @@ def _mk_fused_small(pm: PallasBDT, interpret: bool, scale: bool = False,
         out_specs=pl.BlockSpec((rows, TILE_R * NV),
                                lambda i, b, p2, si: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TILE_R * ts, NV), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((SMALL_SLOTS, TILE_R * ts, NV),
+                                   jnp.float32),
                         pltpu.VMEM((C2, TILE_R * NV), jnp.float32)],
     )
     return pl.pallas_call(
@@ -885,7 +929,8 @@ def _mk_fused_ice(pm: PallasBDT, interpret: bool, scale: bool = False,
                                                          0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((C2, TILE_R * NV), jnp.float32),
-                        pltpu.VMEM((TILE_R * ts, NV), jnp.float32)],
+                        pltpu.VMEM((PSC, TILE_R * ts, NV), jnp.float32),
+                        pltpu.VMEM((PSC, NV, TILE_C), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_fused_ice_kernel, PSC, ts, W8, SEC, c0, eoff,
@@ -975,14 +1020,37 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
         interpret = _interpret_default()
     # the fused kernel folds in the pseudo→true segment-sum and (overflow-
     # free) the weight scale; with overflow the scale waits for the COO
-    # add, and with multiple E-section groups it waits for the cross-group
-    # partial sum (an ice section can receive mass from several E sections)
-    in_scale = scale and pm.ov_s is None and pm.nesec == 1
+    # add, and with MULTIPLE E-section groups it waits for the cross-group
+    # partial sum (an ice section can receive mass from several E sections).
+    # ONE group — the common case, incl. every E space whose realized
+    # windows sit in a single section of a wider bucket space (config #3
+    # since r5) — needs NO cross-group sum: its scaled partial IS the
+    # output over [lo, hi), zero elsewhere.  The r5 zeros+at.add epilogue
+    # here cost ~34 us/rt at config #3 (an XLA copy of the full blocked
+    # field + an unfused winv multiply — tools/probe_trace.py).
+    one_group = pm.nesec == 1 or len(pm.egroups) == 1
+    in_scale = scale and pm.ov_s is None and one_group
     with jax.enable_x64(False):   # Mosaic rejects x64 grid indices
         if pm.nesec == 1:
             out = _mk_fused_ice(pm, interpret, in_scale)(
                 pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
                 e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
+        elif one_group:
+            SEC = pm.sec_blocks
+            g = pm.egroups[0]
+            part = _mk_fused_ice(pm, interpret, in_scale, g)(
+                pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
+                e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
+            _c0, _c1, _e, lo, hi = g
+            parts = []
+            if lo > 0:
+                parts.append(jnp.zeros((lo * SEC, pm.NV, TILE_C),
+                                       jnp.float32))
+            parts.append(part)
+            if hi * SEC < pm.nblkpad:
+                parts.append(jnp.zeros((pm.nblkpad - hi * SEC, pm.NV,
+                                        TILE_C), jnp.float32))
+            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         else:
             SEC = pm.sec_blocks
             out = jnp.zeros((pm.nblkpad, pm.NV, TILE_C), jnp.float32)
@@ -1086,10 +1154,17 @@ def apply_view(vw: PallasView, f, scale: bool = True, var_factor=None,
 def apply_small(pm: PallasBDT, f, scale: bool = True,
                 interpret: Optional[bool] = None,
                 passes: Optional[int] = None):
-    """(NV, nice) or (nice,) → (NV, nsmall): convenience wrapper."""
+    """(nv, nice) or (nice,) → (nv, nsmall): convenience wrapper.  Field
+    counts beyond the pack's NV batch through the kernel in NV-sized
+    groups (the richer round-4 contract tables exceed the default 8)."""
     single = f.ndim == 1
     fv = f[None, :] if single else f
     nv_in = fv.shape[0]
+    if nv_in > pm.NV:
+        parts = [apply_small(pm, fv[k:k + pm.NV], scale=scale,
+                             interpret=interpret, passes=passes)
+                 for k in range(0, nv_in, pm.NV)]
+        return jnp.concatenate(parts, axis=0)
     if nv_in < pm.NV:
         fv = jnp.pad(fv, ((0, pm.NV - nv_in), (0, 0)))
     e3 = apply_small_blocked(pm, pm.ice_to_blocked(fv), scale=scale,
@@ -1101,10 +1176,16 @@ def apply_small(pm: PallasBDT, f, scale: bool = True,
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def apply_ice(pm: PallasBDT, f, scale: bool = True,
               interpret: Optional[bool] = None):
-    """(NV, nsmall) or (nsmall,) → (NV, nice): convenience wrapper."""
+    """(nv, nsmall) or (nsmall,) → (nv, nice): convenience wrapper.  Field
+    counts beyond the pack's NV batch through in NV-sized groups."""
     single = f.ndim == 1
     fv = f[None, :] if single else f
     nv_in = fv.shape[0]
+    if nv_in > pm.NV:
+        parts = [apply_ice(pm, fv[k:k + pm.NV], scale=scale,
+                           interpret=interpret)
+                 for k in range(0, nv_in, pm.NV)]
+        return jnp.concatenate(parts, axis=0)
     if nv_in < pm.NV:
         fv = jnp.pad(fv, ((0, pm.NV - nv_in), (0, 0)))
     out = apply_ice_blocked(pm, pm.small_to_e3(fv), scale=scale,

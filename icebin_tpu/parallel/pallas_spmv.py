@@ -141,6 +141,8 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     Reference: PETSc DA handles ragged decompositions transparently [U];
     SURVEY.md section 5.7.
     """
+    from icebin_tpu.ops.pallas_bdt import _ensure_tuned
+    _ensure_tuned()   # install device tunables BEFORE reading them below
     from icebin_tpu.ops.pallas_bdt import E_SEC, SEC_BLOCKS, TS
     ts = ts or TS
     n = int(mesh.devices.size)
@@ -167,7 +169,11 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     # common-statics stacking cannot express).
     from icebin_tpu.ops.pallas_bdt import PS_CHUNK
     NW = -(-int(nsmall) // TILE_R)
-    e_sec = max(E_SEC, -(-NW // TILE_R) * TILE_R)
+    # rows the kernels actually keep VMEM-resident (NWpad derives from NW;
+    # the inflated bucket size max(E_SEC, ...) below is only the packer's
+    # section width and must NOT drive the budget check)
+    nw_width = -(-NW // TILE_R) * TILE_R
+    e_sec = max(E_SEC, nw_width)
     sec_cap = min(SEC_BLOCKS, -(-bpd // 8) * 8)
     budget = 15 * 2**20                          # 16 MB scoped VMEM, margin
     tiles_db = 2 * PS_CHUNK * (ts or TS) * TILE_R * TILE_C * 4
@@ -175,7 +181,7 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     scratch = PS_CHUNK * (ts or TS) * TILE_R * nv * 4 + 2**18
     e_sec_max = (budget - tiles_db - field_db - scratch) \
         // (2 * TILE_R * nv * 4)                 # E3 out + winvS_e3 rows
-    if e_sec > e_sec_max:
+    if nw_width > e_sec_max:
         raise NotImplementedError(
             f"mesh E space of {nsmall} rows ({NW} windows) exceeds the "
             f"single-call VMEM budget ({e_sec_max} windows at this shard "
@@ -446,6 +452,17 @@ class ShardedPallasView:
         single = f.ndim == 1
         fv = f[None, :] if single else f
         nv_in = fv.shape[0]
+        if nv_in > t.NV:
+            # contract tables beyond the pack's NV batch through the mesh
+            # kernels in NV-sized groups (round-4 output contract = 10)
+            parts = [self.apply_coupler(fv[k:k + t.NV], scale=scale,
+                                        var_factor=None if var_factor is None
+                                        else var_factor[k:k + t.NV],
+                                        var_offset=None if var_offset is None
+                                        else var_offset[k:k + t.NV],
+                                        fill=fill, passes=passes)
+                     for k in range(0, nv_in, t.NV)]
+            return jnp.concatenate(parts, axis=0)
         if nv_in < t.NV:
             fv = jnp.pad(fv, ((0, t.NV - nv_in), (0, 0)))
         if self.transposed:                      # dest-ice (IvE/IvA)
