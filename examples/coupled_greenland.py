@@ -64,9 +64,9 @@ def main():
         season = np.cos(2 * np.pi * t / (86400.0 * 365.2425))
         smbA = 1e-5 * np.clip((np.abs(cA[:, 1]) - 55.0) / 35.0, 0, 1) \
             - 4e-6 * max(season, 0.0)
-        f = np.zeros((4, gr.nE))
+        f = np.zeros((8, gr.nE))
         f[0] = np.repeat(smbA, gr.nhc)          # a-major E broadcast
-        f[3] = -15.0 + 10.0 * season
+        f[4] = -15.0 + 10.0 * season
         return jnp.asarray(f, jnp.float32)
 
     print(f"running {args.steps} coupling steps...", flush=True)

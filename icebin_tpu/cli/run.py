@@ -73,10 +73,10 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(0)
 
     def forcing(t, sheet):
-        f = np.zeros((4, gr.nE))
+        f = np.zeros((8, gr.nE))
         if args.forcing == "synthetic":
             f[0] = args.smb * rng.uniform(0.5, 1.0, gr.nE)
-            f[3] = -10.0
+            f[4] = -10.0
         return jnp.asarray(f, jnp.float32)
 
     if args.fused:

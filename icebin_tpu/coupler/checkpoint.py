@@ -26,6 +26,7 @@ def save_checkpoint(path: str, coupler) -> None:
         arrs[f"{name}.H"] = np.asarray(st.H)
         arrs[f"{name}.bed"] = np.asarray(st.bed)
         arrs[f"{name}.t"] = np.asarray(st.t)
+        arrs[f"{name}.enth"] = np.asarray(st.enth)
         arrs[f"{name}.steps_since_regen"] = np.asarray(sc.steps_since_regen)
         arrs[f"{name}.regen_elevmask"] = np.asarray(sc.regen_elevmask)
     np.savez_compressed(path, **arrs)
@@ -43,9 +44,13 @@ def load_checkpoint(path: str, coupler) -> None:
     rows = json.loads(bytes(z["ledger"].tobytes()).decode())
     coupler.ledger = Ledger(steps=rows)
     for name, sc in coupler.sheets.items():
-        sc.state = IceSheetState(H=jnp.asarray(z[f"{name}.H"]),
-                                 bed=jnp.asarray(z[f"{name}.bed"]),
-                                 t=jnp.asarray(z[f"{name}.t"]))
+        sc.state = IceSheetState(
+            H=jnp.asarray(z[f"{name}.H"]),
+            bed=jnp.asarray(z[f"{name}.bed"]),
+            t=jnp.asarray(z[f"{name}.t"]),
+            # pre-r4 checkpoints carry no energy column: default cold state
+            enth=jnp.asarray(z[f"{name}.enth"])
+            if f"{name}.enth" in z else None)
         sc.place_state()          # mesh couplers re-shard over the ice axis
         sc.regen_matrices(elevmask=z[f"{name}.regen_elevmask"])
         sc.steps_since_regen = int(z[f"{name}.steps_since_regen"])

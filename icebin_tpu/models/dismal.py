@@ -29,15 +29,15 @@ class DismalModel:
     """State-preserving stand-in with forcing capture.
 
     Use: ``sc = IceSheetCoupler(...); sc.ice_step = DismalModel(dir).step``
-    or call ``step(cfg, state, smb, tsurf, dt)`` anywhere the coupled
-    ice-step protocol fits (returns zero melt/calving fluxes).
+    or call ``step(cfg, state, smb, tsurf, dt, enth_flux)`` anywhere the
+    coupled ice-step protocol fits (returns all-zero shed fluxes).
     """
 
     out_dir: Optional[str] = None
     _count: int = 0
 
     def step(self, cfg: IceSheetConfig, state: IceSheetState, smb_flux,
-             tsurf, dt: float):
+             tsurf, dt: float, enth_flux=None):
         if self.out_dir is not None:
             d = pathlib.Path(self.out_dir)
             d.mkdir(parents=True, exist_ok=True)
@@ -46,9 +46,13 @@ class DismalModel:
                 smb_flux=np.asarray(smb_flux).reshape(cfg.ny, cfg.nx),
                 tsurf=np.asarray(tsurf).reshape(cfg.ny, cfg.nx)
                 if tsurf is not None else np.zeros((cfg.ny, cfg.nx)),
+                enth_flux=np.asarray(enth_flux).reshape(cfg.ny, cfg.nx)
+                if enth_flux is not None else np.zeros((cfg.ny, cfg.nx)),
                 t=float(state.t), dt=float(dt))
         self._count += 1
         import jax.numpy as jnp
+        from icebin_tpu.models.ice_sheet import IceFluxes
         z = jnp.zeros_like(state.H)
-        return (IceSheetState(H=state.H, bed=state.bed, t=state.t + dt),
-                z, z)
+        return (IceSheetState(H=state.H, bed=state.bed, t=state.t + dt,
+                              enth=state.enth),
+                IceFluxes(z, z, z, z, z, z, z, z, z))

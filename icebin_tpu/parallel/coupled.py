@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from icebin_tpu.models.ice_sheet import IceSheetConfig, sia_flux_div_ghosted
+from icebin_tpu.models.ice_sheet import (IceSheetConfig,
+                                         sia_flux_div_energy_ghosted,
+                                         sia_flux_div_ghosted)
 from icebin_tpu.ops.bdt import (TILE_C, TILE_R, BDTMatrix,
                                 tiles_dest_ice_unscaled,
                                 tiles_dest_small_unscaled)
@@ -40,35 +42,42 @@ def make_sharded_ice_step(mesh, ny_real=None):
     """``models.ice_sheet.step_coupled``-compatible ice advance over the
     mesh.
 
-    Returns fn(cfg, state, smb_flux, tsurf, dt) -> (state, melt, calv)
-    with the SIA substeps running in shard_map (1-D y decomposition,
-    ppermute halo rings, pmax CFL) -- the PISM/PETSc-DA ghost-update
-    analog.  Drop-in for ``IceSheetCoupler.ice_step`` so the PRODUCTION
-    coupler (ledger, E1vE0, regen cadence, writer) runs mesh-decomposed.
+    Returns fn(cfg, state, smb_flux, tsurf, dt, enth_flux=None) ->
+    (state, IceFluxes) with the SIA + enthalpy-column substeps running in
+    shard_map (1-D y decomposition, ppermute halo rings of H AND the
+    energy column, pmax CFL) -- the PISM/PETSc-DA ghost-update analog.
+    Drop-in for ``IceSheetCoupler.ice_step`` so the PRODUCTION coupler
+    (ledger, E1vE0, regen cadence, writer) runs mesh-decomposed.
 
     ``ny_real``: RAGGED decomposition support (cfg.ny is the row-PADDED
     lattice; only the first ny_real rows are physical).  The pad rows
     hold a copy of the last real row, maintained after every substep: the
     surface slope across the real/pad face is then EXACTLY zero, so the
     boundary flux matches the single-device edge-replicated ghost
-    bit-for-bit, and pad-row melt/calving is masked out of the returned
-    fluxes (reference: PETSc DA ragged decomposition [U]; SURVEY.md
+    bit-for-bit, and pad-row fluxes are masked out of the returned books
+    (reference: PETSc DA ragged decomposition [U]; SURVEY.md
     section 5.7).
     """
     import functools
-    from icebin_tpu.models.ice_sheet import RHO_ICE as _RHO, IceSheetState
+    from icebin_tpu.models.ice_sheet import (L_FUSION as _LF,
+                                             RHO_ICE as _RHO, IceFluxes,
+                                             IceSheetState)
 
     n = int(mesh.devices.size)
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "dt", "has_ts"))
-    def _advance(cfg, H, bed, smb_flux, tsurf, dt, has_ts):
+    @functools.partial(jax.jit,
+                       static_argnames=("cfg", "dt", "has_ts", "has_ef"))
+    def _advance(cfg, H, bed, U, smb_flux, tsurf, enth_flux, dt, has_ts,
+                 has_ef):
         smb2 = (jnp.asarray(smb_flux).reshape(cfg.ny, cfg.nx) / _RHO
                 ).astype(H.dtype)
         ts2 = (jnp.asarray(tsurf).reshape(cfg.ny, cfg.nx).astype(H.dtype)
                if has_ts else jnp.zeros_like(smb2))
+        ef2 = (jnp.asarray(enth_flux).reshape(cfg.ny, cfg.nx)
+               .astype(H.dtype) if has_ef else jnp.zeros_like(smb2))
         ny_l = cfg.ny // n
 
-        def local(Hl, bedl, smbl, tsl):
+        def local(Hl, bedl, Ul, smbl, tsl, efl):
             if ny_real is not None and ny_real != cfg.ny:
                 d = jax.lax.axis_index(ICE_AXIS)
                 r0 = jnp.clip(ny_real - d * ny_l, 0, ny_l)
@@ -77,20 +86,31 @@ def make_sharded_ice_step(mesh, ny_real=None):
             return _sia_substeps_local(Hl, bedl, smbl,
                                        tsl if has_ts else None, dt, cfg,
                                        cfg.dx, cfg.dy, cfg.n_substeps_max,
-                                       rows_real=r0)
+                                       rows_real=r0, U=Ul,
+                                       e_srf=efl if has_ef else None)
 
-        sm = shard_map(local, mesh=mesh, in_specs=(P(ICE_AXIS),) * 4,
-                       out_specs=(P(ICE_AXIS),) * 3, check_vma=False)
-        return sm(H, bed, smb2, ts2)
+        sm = shard_map(local, mesh=mesh, in_specs=(P(ICE_AXIS),) * 6,
+                       out_specs=(P(ICE_AXIS),) * 10, check_vma=False)
+        return sm(H, bed, U, smb2, ts2, ef2)
 
-    def step_like(cfg, state, smb_flux, tsurf, dt):
+    def step_like(cfg, state, smb_flux, tsurf, dt, enth_flux=None):
         if cfg.ny % n:
             raise ValueError(f"ny={cfg.ny} not divisible by {n} devices")
-        H1, melt, calv = _advance(cfg, state.H, state.bed, smb_flux,
-                                  tsurf if tsurf is not None else state.H,
-                                  dt, tsurf is not None)
-        new_state = IceSheetState(H=H1, bed=state.bed, t=state.t + dt)
-        return new_state, melt * (_RHO / dt), calv * (_RHO / dt)
+        H1, U1, melt, basal, calv, clampg, er, eb, ec, ecl = _advance(
+            cfg, state.H, state.bed, state.enth, smb_flux,
+            tsurf if tsurf is not None else state.H,
+            enth_flux if enth_flux is not None else state.H,
+            dt, tsurf is not None, enth_flux is not None)
+        new_state = IceSheetState(H=H1, bed=state.bed, t=state.t + dt,
+                                  enth=U1)
+        fx = IceFluxes(runoff=melt * (_RHO / dt),
+                       basal_melt=basal * (_RHO / dt),
+                       calving=calv * (_RHO / dt),
+                       mass_clamp=clampg * (_RHO / dt),
+                       enth_runoff=er / dt, enth_basal=eb / dt,
+                       enth_calving=ec / dt, enth_clamp=ecl / dt,
+                       latent_pdd=melt * (_RHO * _LF / dt))
+        return new_state, fx
 
     step_like.jittable = True    # pure shard_map: safe under an outer jit
     return step_like
@@ -134,18 +154,27 @@ def shard_coupled_setup(mesh, ive: BDTMatrix, evi: BDTMatrix, state,
 
 
 def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
-                        n_substeps, rows_real=None):
-    """Local SIA substepping with per-substep 1-row halo exchange, plus the
-    shared ablation pass (melt + margin calving) on the SAME ghosted
-    thickness the dynamics used -- sharded trajectories and returned-mass
-    fluxes are bit-identical to the single-device ``step_coupled``.
+                        n_substeps, rows_real=None, U=None, e_srf=None):
+    """Local SIA + enthalpy-column substepping with per-substep 1-row halo
+    exchange (H AND U ride the ring -- the energy column advects with the
+    mass flux), plus the shared ablation/energy pass on the SAME ghosted
+    thickness the dynamics used -- sharded trajectories and returned
+    mass/energy books are bit-identical to the single-device
+    ``step_coupled``.
 
     ``rows_real``: per-shard count of PHYSICAL rows (ragged decomposition);
     trailing pad rows are re-replicated from the last real row after every
-    update so the real/pad boundary flux is exactly zero, and their
-    melt/calving never reaches the cumulative fluxes."""
-    from icebin_tpu.models.ice_sheet import ablation_ghosted
+    update so the real/pad boundary flux is exactly zero, and pad-row
+    fluxes never reach the cumulative books.
 
+    Returns (H1, U1, melt, basal, calv, eU_run, e_basal, eU_calv,
+    e_clamp) cumulative per-cell totals [m] / [J m-2]; ``U=None`` runs a
+    zero energy column (demo paths)."""
+    from icebin_tpu.models.ice_sheet import (ablation_ghosted,
+                                             apply_ablation_energy)
+
+    if U is None:
+        U = jnp.zeros_like(H)
     if rows_real is not None:
         live = (jax.lax.broadcasted_iota(jnp.int32, H.shape, 0)
                 < rows_real)
@@ -156,34 +185,54 @@ def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
         return jnp.where(live, Hn, last[None, :])
 
     def substep(carry, _):
-        Hl, t_done, melt_cum, calv_cum = carry
+        Hl, Ul, t_done, cums = carry
         def padx(a):   # x is unsharded in the 1-D decomposition
             return jnp.concatenate([a[:, :1], a, a[:, -1:]], axis=1)
         Hg = padx(halo_exchange_rows(Hl, 1, ICE_AXIS))
         bg = padx(halo_exchange_rows(bed, 1, ICE_AXIS))
-        div, Dmax_local = sia_flux_div_ghosted(Hg, Hg + bg, dx, dy)
+        Ug = padx(halo_exchange_rows(Ul, 1, ICE_AXIS))
+        div, divE, Dmax_local = sia_flux_div_energy_ghosted(
+            Hg, Hg + bg, Ug, dx, dy)
         Dmax = jax.lax.pmax(Dmax_local, ICE_AXIS)
         cfl = jnp.where(Dmax > 0, 0.25 * min(dx, dy) ** 2 / (Dmax + 1e-30),
                         cfg.dt_max)
         dt_sub = jnp.maximum(
             jnp.minimum(jnp.minimum(cfl, cfg.dt_max), dt - t_done), 0.0)
-        Hn2 = jnp.maximum(Hl + (div + smb) * dt_sub.astype(Hl.dtype), 0.0)
+        dts = dt_sub.astype(Hl.dtype)
+        H_dyn = Hl + (div + smb) * dts
+        Hn2 = jnp.maximum(H_dyn, 0.0)
+        clampg = Hn2 - H_dyn
+        Un2 = Ul + divE * dts
+        if e_srf is not None:
+            Un2 = Un2 + e_srf * dts
         if tsurf is not None:
-            Hn2, melt, calv = ablation_ghosted(Hg, Hn2, tsurf, cfg,
-                                               dt_sub.astype(Hl.dtype))
+            Hn2, melt, calv = ablation_ghosted(Hg, Hn2, tsurf, cfg, dts)
+            H_pre = Hn2 + melt + calv
+            (Hn2, Un2, basal, eU_run, eU_calv, e_basal,
+             e_clamp) = apply_ablation_energy(H_pre, Un2, melt, calv)
+            deltas = (melt, basal, calv, clampg, eU_run, e_basal, eU_calv,
+                      e_clamp)
             if rows_real is not None:
-                melt = jnp.where(live, melt, 0.0)
-                calv = jnp.where(live, calv, 0.0)
-            melt_cum = melt_cum + melt
-            calv_cum = calv_cum + calv
+                deltas = tuple(jnp.where(live, d, 0.0) for d in deltas)
+            cums = [c + d for c, d in zip(cums, deltas)]
+        else:
+            e_clamp = jnp.where(Hn2 > 0, 0.0, Un2)
+            Un2 = jnp.where(Hn2 > 0, Un2, 0.0)
+            if rows_real is not None:
+                e_clamp = jnp.where(live, e_clamp, 0.0)
+                clampg = jnp.where(live, clampg, 0.0)
+            cums = (cums[:3] + [cums[3] + clampg] + cums[4:7]
+                    + [cums[7] + e_clamp])
         if rows_real is not None:
             Hn2 = _fix_pad(Hn2)
-        return (Hn2, t_done + dt_sub, melt_cum, calv_cum), None
+            Un2 = _fix_pad(Un2)
+        return (Hn2, Un2, t_done + dt_sub, cums), None
 
     z = jnp.zeros_like(H)
-    (H1, _, melt_cum, calv_cum), _ = jax.lax.scan(
-        substep, (H, jnp.zeros((), H.dtype), z, z), None, length=n_substeps)
-    return H1, melt_cum, calv_cum
+    (H1, U1, _, cums), _ = jax.lax.scan(
+        substep, (H, U, jnp.zeros((), H.dtype), [z] * 8), None,
+        length=n_substeps)
+    return (H1, U1) + tuple(cums)
 
 
 def make_sharded_step(mesh, ice_cfg: IceSheetConfig, nsmall_E: int,
@@ -208,10 +257,11 @@ def make_sharded_step(mesh, ice_cfg: IceSheetConfig, nsmall_E: int,
         fI = fI * fac[:, None] + off[:, None] * (wI[None, :] != 0)
         smb = (fI[0] / rho_ice).reshape(ny_l, ice_cfg.nx).astype(H.dtype)
 
-        # 2. local ice dynamics with ring halo exchange
-        H1, _, _ = _sia_substeps_local(H, bed, smb, None, dt, ice_cfg,
-                                       ice_cfg.dx, ice_cfg.dy,
-                                       ice_cfg.n_substeps_max)
+        # 2. local ice dynamics with ring halo exchange (mass only: the
+        #    demo step carries no energy column)
+        H1 = _sia_substeps_local(H, bed, smb, None, dt, ice_cfg,
+                                 ice_cfg.dx, ice_cfg.dy,
+                                 ice_cfg.n_substeps_max)[0]
 
         # 3. EvI harvest: local partials + ONE psum (no root gather)
         icy = H1.reshape(-1) > 1.0

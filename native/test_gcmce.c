@@ -27,13 +27,14 @@ int main(int argc, char** argv) {
   gcmce_set_start_time(h, 0.0);
 
   long long nE = (long long)im * jm * nhc;
-  int nvar = 4;
+  int nvar = 8; /* round-4 input contract: smb_mass, smb_enth, deltah,
+                   heat_flux, tsurf, geothermal_flux, rain_mass, rain_enth */
   int64_t* idx = malloc(nE * sizeof(int64_t));
   double* vals = calloc((size_t)(nE * nvar), sizeof(double));
   for (long long k = 0; k < nE; ++k) {
     idx[k] = k;
     vals[k] = 1e-5;          /* smb_mass row */
-    vals[3 * nE + k] = -5.0; /* tsurf row */
+    vals[4 * nE + k] = -5.0; /* tsurf row */
   }
   double* fhc = calloc((size_t)nE, sizeof(double));
   double* elevE = calloc((size_t)nE, sizeof(double));

@@ -14,8 +14,9 @@ import os
 import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+ndev = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
 
 import jax  # noqa: E402
 
@@ -34,7 +35,7 @@ def main():
     init_multihost(f"localhost:{port}", num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
     n_dev = len(jax.devices())
-    assert n_dev == 4 * nproc, f"global devices {n_dev}"
+    assert n_dev == ndev * nproc, f"global devices {n_dev}"
 
     from icebin_tpu.grid.proj import PlateCarree
     from icebin_tpu.grid.spec import GridSpecLonLat, GridSpecXY
@@ -121,10 +122,12 @@ def main():
     # across processes (multi-controller coupling with regen + E1vE0;
     # state sharded over the global mesh, elevmask re-assembled with one
     # process_allgather at regeneration)
-    from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler
-    # RAGGED row count (not divisible by the 2x4-device global mesh):
+    from icebin_tpu.coupler.coupler import (CouplerConfig, GCMCoupler,
+                                            IceSheetCoupler)
+    from icebin_tpu.models.ice_sheet import IceSheetConfig
+    # RAGGED row count (not divisible by the nproc x ndev global mesh):
     # exercises the replicated-pad-row decomposition across PROCESSES
-    nyc = 4 * (4 * nproc) + 4
+    nyc = 4 * (ndev * nproc) + 4
     specI2 = GridSpecXY(xb=np.linspace(0.0, 16.0 * scale, 33),
                         yb=np.linspace(40.0 * scale, 72.0 * scale, nyc + 1),
                         projection=PlateCarree(scale=scale))
@@ -132,31 +135,57 @@ def main():
                             latb=np.linspace(30.0, 80.0, 7))
     gr2 = GCMRegridder(specA2, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3000.0])
     gr2.add_sheet("s", specI2, subdiv=1)
-    cp = GCMCoupler(gr2, CouplerConfig(dt=86400.0 * 30, regen_every=4),
-                    mesh=mesh)
+    cfg2 = CouplerConfig(dt=86400.0 * 30, regen_every=4)
+    cp = GCMCoupler(gr2, cfg2, mesh=mesh)
     rng2 = np.random.default_rng(2)
-    fE = np.zeros((4, gr2.nE))
+    fE = np.zeros((8, gr2.nE))
     fE[0] = 1e-5 * rng2.uniform(0.5, 1.0, gr2.nE)
-    fE[3] = -10.0
+    fE[1] = 5.0                     # surface enthalpy: energy books live
+    fE[3] = 2.0
+    fE[4] = 4.0                     # WARM: PDD melt -> mass-loss fluxes
+    fE[5] = 0.06
     cp.run_transient(lambda t, s: fE, 6, fused=True)    # crosses a regen
     rows = cp.ledger.to_rows()
     assert len(rows) == 6
     worst = max(abs(r["s.mass_in_E"] - r["s.mass_delivered_I"])
                 / abs(r["s.mass_in_E"]) for r in rows)
     assert worst < 1e-10, worst
-    # per-step closure incl. the returned-mass and energy books
-    prev = None
+    # per-step closure incl. the returned-mass and energy books; the
+    # mass-loss path is ALIVE (nonzero runoff under the warm forcing)
+    prev = prev_e = None
     for r in rows:
         if prev is not None:
             lhs = r["s.ice_mass"] - prev
             rhs = (r["s.mass_delivered_I"] - r["s.mass_returned_I"]
-                   + r["s.mass_residual"])
+                   + r["s.mass_clamp_I"] + r["s.mass_residual"])
             assert abs(lhs - rhs) / abs(r["s.ice_mass"]) < 1e-12
-        assert "s.energy_in_E" in r
+            lhe = r["s.energy_storage_I"] - prev_e
+            rhe = (r["s.energy_delivered_I"] - r["s.energy_returned_I"]
+                   - r["s.energy_clamp_I"] + r["s.energy_residual"])
+            scaleE = max(abs(r["s.energy_storage_I"]),
+                         abs(r["s.energy_delivered_I"]))
+            assert abs(lhe - rhe) / scaleE < 1e-12
+        assert r["s.mass_returned_I"] > 0
         prev = r["s.ice_mass"]
+        prev_e = r["s.energy_storage_I"]
 
-    print(f"proc {pid}: multihost OK ({nproc} procs x 4 devices; fused "
-          f"mesh coupler worst {worst:.2e})", flush=True)
+    # books match a SINGLE-DEVICE single-process run of the same config
+    # (each process computes the reference locally; determinism replaces
+    # broadcast)
+    gr3 = GCMRegridder(specA2, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3000.0])
+    gr3.add_sheet("s", specI2, subdiv=1)
+    cp1 = GCMCoupler(gr3, cfg2, sheets={
+        "s": IceSheetCoupler(gr3, "s", cfg2)})
+    cp1.run_transient(lambda t, s: fE, 6, fused=False)
+    rows1 = cp1.ledger.to_rows()
+    for key in ("ice_mass", "mass_returned_I", "energy_storage_I",
+                "energy_returned_I"):
+        a = np.array([r[f"s.{key}"] for r in rows1])
+        b = np.array([r[f"s.{key}"] for r in rows])
+        np.testing.assert_allclose(b, a, rtol=1e-6)
+
+    print(f"proc {pid}: multihost OK ({nproc} procs x {ndev} devices; "
+          f"fused mesh coupler worst {worst:.2e})", flush=True)
 
 
 if __name__ == "__main__":

@@ -66,9 +66,9 @@ def test_coupler_prods_passes_knob():
         sc = IceSheetCoupler(gr, "toy", cfg)
         cp = GCMCoupler(gr, cfg, sheets={"toy": sc})
         rng = np.random.default_rng(1)
-        fE = np.zeros((4, gr.nE))
+        fE = np.zeros((8, gr.nE))
         fE[0] = 1e-6 * rng.uniform(0.5, 1.0, gr.nE)
-        fE[3] = rng.uniform(-30.0, -5.0, gr.nE)     # degC, cold (no melt)
+        fE[4] = rng.uniform(-30.0, -5.0, gr.nE)     # degC, cold (no melt)
         r = cp.couple({"toy": jnp.asarray(fE, jnp.float32)})
         out = np.asarray(r["toy"]["fE_out"][0], np.float64)   # elevation
         assert np.isfinite(out).any()

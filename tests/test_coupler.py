@@ -37,8 +37,9 @@ def test_units():
 def test_contract_conversion_vectors():
     fac, off = modele_ice_input_contract().conversion_to(
         ice_native_input_contract())
-    np.testing.assert_allclose(fac, [1, 1, 1, 1])
-    np.testing.assert_allclose(off, [0, 0, 0, 273.15])
+    np.testing.assert_allclose(fac, np.ones(8))
+    # tsurf (index 4) converts degC -> K; every flux row is identity
+    np.testing.assert_allclose(off, [0, 0, 0, 0, 273.15, 0, 0, 0])
 
 
 def test_ice_model_mass_conservation():
@@ -88,11 +89,11 @@ def make_coupler(n_ice=40, regen_every=5):
 def forcing(t, sheet, nE=None, n_in=4, coupler=None):
     nE = coupler.gr.nE
     rng = np.random.default_rng(int(t) % 100003)
-    f = np.zeros((4, nE))
+    f = np.zeros((8, nE))
     f[0] = 1e-5 * rng.uniform(0.5, 1.0, nE)      # smb kg m-2 s-1
     f[1] = 5.0
-    f[2] = 2.0
-    f[3] = -10.0                                  # degC
+    f[3] = 2.0
+    f[4] = -10.0                                  # degC
     return jnp.asarray(f)
 
 

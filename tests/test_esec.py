@@ -220,9 +220,9 @@ def test_coupler_wide_E_pallas_end_to_end():
                                rtol=2e-5, atol=1e-7 * np.abs(ref[m]).max())
 
     # one production step: books must balance
-    f = np.zeros((4, gr.nE), np.float32)
+    f = np.zeros((8, gr.nE), np.float32)
     f[0] = 1e-5 * rng.uniform(0.5, 1.0, gr.nE)
-    f[3] = -10.0
+    f[4] = -10.0
     cp.couple({"s": jnp.asarray(f)})
     row = cp.ledger.to_rows()[-1]
     rel = abs(row["s.mass_in_E"] - row["s.mass_delivered_I"]) \

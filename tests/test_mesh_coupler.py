@@ -35,11 +35,11 @@ def make_gr(n_ice=32, sheets=("toy",), scale=25e3):
 
 def forcing(t, nE, seed_extra=0):
     rng = np.random.default_rng((int(t) + seed_extra) % 100003)
-    f = np.zeros((4, nE))
+    f = np.zeros((8, nE))
     f[0] = 1e-5 * rng.uniform(0.5, 1.0, nE)
     f[1] = 5.0
-    f[2] = 2.0
-    f[3] = -10.0
+    f[3] = 2.0
+    f[4] = -10.0
     return jnp.asarray(f)
 
 
@@ -201,8 +201,20 @@ def test_mesh_fused_transient_matches_stepwise():
             na, nb = a[key], b[key]
             if na == 0.0:
                 assert nb == 0.0, key
+                continue
+            # roundoff-level rows (residuals, clamp books) compare to the
+            # step's physical scale, not to themselves; energy rows carry
+            # the f32 column's huge cold-content magnitudes, so their
+            # stepwise-vs-fused agreement is bounded by f32 epsilon of the
+            # STORED energy, not by the f64 ledger
+            if "energy" in key:
+                scale = abs(a["toy.energy_storage_I"])
+                assert abs(na - nb) < 1e-6 * max(scale, abs(na)), \
+                    (key, na, nb)
             else:
-                assert abs(na - nb) / abs(na) < 1e-9, (key, na, nb)
+                scale = abs(a["toy.mass_delivered_I"])
+                assert abs(na - nb) < 1e-9 * abs(na) + 1e-11 * scale, \
+                    (key, na, nb)
         m_in, m_del = b["toy.mass_in_E"], b["toy.mass_delivered_I"]
         assert abs(m_in - m_del) / abs(m_in) < 1e-10
     np.testing.assert_allclose(np.asarray(cp2.sheets["toy"].state.H),

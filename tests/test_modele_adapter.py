@@ -85,9 +85,9 @@ def test_adapter_couple_native(tmp_path):
     nE = ad.gr.nE
     rng = np.random.default_rng(0)
     # two 'ranks' each owning half the E cells, ModelE ihc-major indices
-    fE_canon = np.zeros((4, nE))
+    fE_canon = np.zeros((8, nE))
     fE_canon[0] = 1e-5 * rng.uniform(0.5, 1.0, nE)
-    fE_canon[3] = -5.0
+    fE_canon[4] = -5.0
     fE_modele = to_modele_E(fE_canon, ad.nA, ad.nhc)
     half = nE // 2
     ad.add_rank_output(np.arange(half), fE_modele[:, :half])
@@ -102,7 +102,7 @@ def test_adapter_couple_native(tmp_path):
     assert fhc.shape == (ad.nhc,) + ad.gr.specA.shape[::-1]
     s = fhc.sum(axis=0)
     np.testing.assert_allclose(s[s > 0], 1.0, rtol=1e-12)
-    assert res["fE_out_modele"].shape == (5, ad.gr.nE)
+    assert res["fE_out_modele"].shape == (10, ad.gr.nE)
 
 
 def test_gcmce_c_abi(tmp_path):
@@ -143,13 +143,13 @@ def test_gcmce_c_abi(tmp_path):
 
     nE = im.value * jm.value * nhc.value
     idx = np.arange(nE, dtype=np.int64)
-    vals = np.zeros((4, nE))
+    vals = np.zeros((8, nE))
     vals[0] = 1e-5
-    vals[3] = -5.0
+    vals[4] = -5.0
     lib.gcmce_add_gcm_outpute(
         h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        ctypes.c_int64(nE), 4)
+        ctypes.c_int64(nE), 8)
     fhc = np.zeros(nE)
     elevE = np.zeros(nE)
     under = np.zeros(nE, dtype=np.int32)

@@ -59,9 +59,9 @@ def test_multisheet_transient_conservation():
     rng = np.random.default_rng(1)
 
     def forcing(t, sheet):
-        f = np.zeros((4, gr.nE))
+        f = np.zeros((8, gr.nE))
         f[0] = 1e-5 * rng.uniform(0.5, 1.0, gr.nE)
-        f[3] = -12.0
+        f[4] = -12.0
         return jnp.asarray(f)
 
     cp.run_transient(forcing, 4)

@@ -105,15 +105,15 @@ def toy_gr(ny=33, nx=32):
 
 def cold_forcing(t, nE):
     rng = np.random.default_rng(int(t) % 100003)
-    f = np.zeros((4, nE))
+    f = np.zeros((8, nE))
     f[0] = 1e-5 * rng.uniform(0.5, 1.0, nE)
-    f[3] = -10.0
+    f[4] = -10.0
     return jnp.asarray(f)
 
 
 def warm_forcing(t, nE):
     f = np.array(cold_forcing(t, nE))
-    f[3] = 5.0                                  # PDD melt: retreat
+    f[4] = 5.0                                  # PDD melt: retreat
     return jnp.asarray(f)
 
 
