@@ -17,8 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["clip_polys_rects", "polygon_areas", "polygon_centroids",
-           "clip_areas_centroids", "make_clip_engine"]
+__all__ = ["clip_polys_rects", "clip_polys_polys", "polygon_areas",
+           "polygon_centroids", "clip_areas_centroids",
+           "clip_areas_centroids_poly", "make_clip_engine",
+           "make_polyclip_engine"]
 
 
 def _propagate_last_valid(pts, valid):
@@ -91,6 +93,27 @@ def clip_areas_centroids(polys, rects):
     return polygon_areas(rings), polygon_centroids(rings)
 
 
+def clip_polys_polys(polys, clips):
+    """XLA twin of ``oracle.clip.clip_polys_polys``: subject rings x CONVEX
+    clip rings (CCW; duplicate clip vertices are no-op passes)."""
+    p = polys
+    Vc = clips.shape[1]
+    for k in range(Vc):
+        a = clips[:, k, :]
+        b = clips[:, (k + 1) % Vc, :]
+        ex = (b - a)[:, None, :]
+        d = (ex[:, :, 0] * (p[:, :, 1] - a[:, None, 1])
+             - ex[:, :, 1] * (p[:, :, 0] - a[:, None, 0]))
+        p = halfplane_pass(p, d)
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=())
+def clip_areas_centroids_poly(polys, clips):
+    rings = clip_polys_polys(polys, clips)
+    return polygon_areas(rings), polygon_centroids(rings)
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
@@ -139,6 +162,67 @@ def make_clip_engine(engine: str = "jax", dtype=None):
         # return ASYNC device slices -- the exchange builder dispatches all
         # chunks before fetching any (per-chunk np.asarray = one relay
         # round trip each, dominating large polar builds)
+        return a[:B], c[:B]
+
+    return fn
+
+
+def make_polyclip_engine(engine: str = "jax", dtype=None):
+    """Returns fn(subj (B,V0,2) np, clip (B,Vc,2) np) -> (areas, centroids)
+    for CONVEX clip rings (round 4: generic x generic exchange grids).
+
+    Engines: 'numpy' (f64 oracle), 'jax' (XLA), 'pallas' (TPU kernel;
+    Vc <= 4 and V0 <= 16 -- triangles duplicate-pad to quads)."""
+    if engine == "numpy":
+        from icebin_tpu.oracle.clip import (clip_polys_polys as _cpp,
+                                            polygon_areas as _pa,
+                                            polygon_centroids as _pc)
+
+        def fn(subj, clip):
+            rings = _cpp(np.asarray(subj, np.float64),
+                         np.asarray(clip, np.float64))
+            return _pa(rings), _pc(rings)
+        return fn
+
+    if engine == "pallas":
+        from icebin_tpu.ops.pallas_clip import (
+            V0 as KV0, V0_MAX, VC_MAX, clip_areas_centroids_poly_pallas)
+        kernel = clip_areas_centroids_poly_pallas
+    else:
+        kernel = clip_areas_centroids_poly
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def fn(subj: np.ndarray, clip: np.ndarray):
+        B = subj.shape[0]
+        Bp = max(8, _next_pow2(B))
+        if engine == "pallas":
+            Bp = max(128, Bp)
+            if subj.shape[1] > V0_MAX or clip.shape[1] > VC_MAX:
+                raise ValueError(
+                    f"pallas poly-clip supports V0 <= {V0_MAX} subject and "
+                    f"Vc <= {VC_MAX} clip vertices (got {subj.shape[1]}, "
+                    f"{clip.shape[1]}); use engine='jax' or 'numpy'")
+            kv = KV0 if subj.shape[1] <= KV0 else V0_MAX
+            if subj.shape[1] < kv:
+                pad = np.repeat(subj[:, -1:, :], kv - subj.shape[1], axis=1)
+                subj = np.concatenate([subj, pad], axis=1)
+            if clip.shape[1] < VC_MAX:
+                pad = np.repeat(clip[:, -1:, :], VC_MAX - clip.shape[1],
+                                axis=1)
+                clip = np.concatenate([clip, pad], axis=1)
+        if Bp != B:
+            subj = np.concatenate(
+                [subj, np.zeros((Bp - B,) + subj.shape[1:], subj.dtype)])
+            # degenerate pad clips (all-zero rings clip everything away)
+            clip = np.concatenate(
+                [clip, np.zeros((Bp - B,) + clip.shape[1:], clip.dtype)])
+        if engine == "pallas":
+            with jax.enable_x64(False):
+                a, c = kernel(jnp.asarray(subj, jnp.float32),
+                              jnp.asarray(clip, jnp.float32))
+        else:
+            a, c = kernel(jnp.asarray(subj, dtype), jnp.asarray(clip, dtype))
         return a[:B], c[:B]
 
     return fn

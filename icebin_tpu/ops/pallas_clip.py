@@ -25,7 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["clip_areas_centroids_pallas", "PAIRS_PER_TILE", "V0", "V0_MAX"]
+__all__ = ["clip_areas_centroids_pallas", "clip_areas_centroids_poly_pallas",
+           "PAIRS_PER_TILE", "V0", "V0_MAX", "VC_MAX"]
+
+VC_MAX = 4      # clip-ring vertex slots on the Pallas path (quads;
+                # triangles duplicate-pad -- a zero-length clip edge is a
+                # no-op pass.  Vc passes double the ring buffer each, so
+                # wider convex clips route to the jax/numpy engines.)
 
 PAIRS_PER_TILE = 128
 V0 = 8          # default subject vertex slots (subdiv<=2 lat-lon cells)
@@ -92,15 +98,7 @@ def _halfplane_pass(x, y, d):
     return _ffill_ring(xn, yn, valid)
 
 
-def _clip_kernel(x_ref, y_ref, hx_ref, hy_ref, area_ref, cx_ref, cy_ref):
-    x = x_ref[:]                      # (V0, 128)
-    y = y_ref[:]
-    hx = hx_ref[:]                    # (1, 128) rect half-extents
-    hy = hy_ref[:]
-    x, y = _halfplane_pass(x, y, x + hx)          # x >= -hx
-    x, y = _halfplane_pass(x, y, hx - x)          # x <= +hx
-    x, y = _halfplane_pass(x, y, y + hy)          # y >= -hy
-    x, y = _halfplane_pass(x, y, hy - y)          # y <= +hy
+def _finish_area_centroid(x, y, area_ref, cx_ref, cy_ref):
     vfin = x.shape[0]
     xn = pltpu.roll(x, vfin - 1, 0)   # roll by -1 == +(V-1); shift >= 0 only
     yn = pltpu.roll(y, vfin - 1, 0)
@@ -113,6 +111,38 @@ def _clip_kernel(x_ref, y_ref, hx_ref, hy_ref, area_ref, cx_ref, cy_ref):
     deg = jnp.abs(a) <= 0.0
     cx_ref[:] = jnp.where(deg, x[0:1, :], cx)
     cy_ref[:] = jnp.where(deg, y[0:1, :], cy)
+
+
+def _polyclip_kernel(x_ref, y_ref, qx_ref, qy_ref, area_ref, cx_ref,
+                     cy_ref):
+    """Subject rings x CONVEX clip QUADS (round 4): one half-plane pass per
+    clip edge, d = cross(b - a, p - a); duplicate clip vertices give d == 0
+    everywhere (a no-op pass), so triangles pad free.  Same buffer
+    doubling as the rect kernel: V0 -> 16*V0 after 4 passes."""
+    x = x_ref[:]                      # (V0, 128)
+    y = y_ref[:]
+    qx = qx_ref[:]                    # (VC_MAX, 128) clip-quad vertices
+    qy = qy_ref[:]
+    for k in range(VC_MAX):
+        ax = qx[k:k + 1, :]
+        ay = qy[k:k + 1, :]
+        bx = qx[(k + 1) % VC_MAX:(k + 1) % VC_MAX + 1, :]
+        by = qy[(k + 1) % VC_MAX:(k + 1) % VC_MAX + 1, :]
+        d = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        x, y = _halfplane_pass(x, y, d)
+    _finish_area_centroid(x, y, area_ref, cx_ref, cy_ref)
+
+
+def _clip_kernel(x_ref, y_ref, hx_ref, hy_ref, area_ref, cx_ref, cy_ref):
+    x = x_ref[:]                      # (V0, 128)
+    y = y_ref[:]
+    hx = hx_ref[:]                    # (1, 128) rect half-extents
+    hy = hy_ref[:]
+    x, y = _halfplane_pass(x, y, x + hx)          # x >= -hx
+    x, y = _halfplane_pass(x, y, hx - x)          # x <= +hx
+    x, y = _halfplane_pass(x, y, y + hy)          # y >= -hy
+    x, y = _halfplane_pass(x, y, hy - y)          # y <= +hy
+    _finish_area_centroid(x, y, area_ref, cx_ref, cy_ref)
 
 
 @jax.jit
@@ -151,4 +181,42 @@ def clip_areas_centroids_pallas(polys, rects):
                    jax.ShapeDtypeStruct((1, B), jnp.float32)),
         interpret=jax.default_backend() != "tpu",
     )(xs, ys, hx, hy)
+    return area[0], jnp.stack([cx[0], cy[0]], axis=-1)
+
+
+@jax.jit
+def clip_areas_centroids_poly_pallas(polys, clips):
+    """Subject rings x convex clip QUADS on the Pallas path (round 4).
+
+    polys: (B, v0, 2) recentered subject rings, v0 in {8, 16};
+    clips: (B, VC_MAX, 2) recentered CCW convex clip rings (triangles
+    duplicate-padded).  B a multiple of 128.
+    """
+    B = polys.shape[0]
+    v0 = polys.shape[1]
+    if v0 not in (V0, V0_MAX):
+        raise ValueError(f"pallas poly-clip supports v0 in "
+                         f"{{{V0}, {V0_MAX}}} (got {v0})")
+    if clips.shape[1] != VC_MAX:
+        raise ValueError(f"pallas poly-clip needs exactly {VC_MAX} clip "
+                         f"vertex slots (duplicate-pad smaller rings)")
+    xs = polys[:, :, 0].T.astype(jnp.float32)       # (v0, B)
+    ys = polys[:, :, 1].T.astype(jnp.float32)
+    qx = clips[:, :, 0].T.astype(jnp.float32)       # (VC_MAX, B)
+    qy = clips[:, :, 1].T.astype(jnp.float32)
+
+    grid = (B // PAIRS_PER_TILE,)
+    vspec = lambda v: pl.BlockSpec((v, PAIRS_PER_TILE),
+                                   lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    area, cx, cy = pl.pallas_call(
+        _polyclip_kernel,
+        grid=grid,
+        in_specs=[vspec(v0), vspec(v0), vspec(VC_MAX), vspec(VC_MAX)],
+        out_specs=(vspec(1), vspec(1), vspec(1)),
+        out_shape=(jax.ShapeDtypeStruct((1, B), jnp.float32),
+                   jax.ShapeDtypeStruct((1, B), jnp.float32),
+                   jax.ShapeDtypeStruct((1, B), jnp.float32)),
+        interpret=jax.default_backend() != "tpu",
+    )(xs, ys, qx, qy)
     return area[0], jnp.stack([cx[0], cy[0]], axis=-1)

@@ -31,8 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["clip_polys_rects", "polygon_areas", "polygon_centroids",
-           "halfplane_pass"]
+__all__ = ["clip_polys_rects", "clip_polys_polys", "polygon_areas",
+           "polygon_centroids", "halfplane_pass"]
 
 
 def _propagate_last_valid(pts: np.ndarray, valid: np.ndarray) -> np.ndarray:
@@ -97,6 +97,30 @@ def clip_polys_rects(polys: np.ndarray, rects: np.ndarray) -> np.ndarray:
     p = halfplane_pass(p, x1 - p[:, :, 0])    # x <= x1
     p = halfplane_pass(p, p[:, :, 1] - y0)    # y >= y0
     p = halfplane_pass(p, y1 - p[:, :, 1])    # y <= y1
+    return p
+
+
+def clip_polys_polys(polys: np.ndarray, clips: np.ndarray) -> np.ndarray:
+    """Clip each subject ring against its CONVEX clip ring (round 4:
+    generic x generic / cross-projection exchange grids; the rect clipper
+    above is the axis-aligned special case).
+
+    polys: (B, V0, 2) subject rings (CCW; duplicate padding allowed).
+    clips: (B, Vc, 2) convex clip rings, CCW; duplicate-vertex padding
+    gives a zero-length edge whose half-plane test is d == 0 everywhere
+    (keeps all) -- a no-op pass, so triangles pad to quads for free.
+    Returns (B, 2^Vc * V0, 2) rings, duplicates as padding.
+    """
+    p = polys
+    Vc = clips.shape[1]
+    for k in range(Vc):
+        a = clips[:, k, :]
+        b = clips[:, (k + 1) % Vc, :]
+        ex = (b - a)[:, None, :]                 # (B, 1, 2) edge vector
+        # inside = left of the CCW edge: cross(b - a, p - a) >= 0
+        d = (ex[:, :, 0] * (p[:, :, 1] - a[:, None, 1])
+             - ex[:, :, 1] * (p[:, :, 0] - a[:, None, 0]))
+        p = halfplane_pass(p, d)
     return p
 
 
