@@ -1,4 +1,5 @@
-"""Kernel-tunables sweep for the attached chip (VERDICT r2 item #9).
+"""Kernel-tunables sweep for the attached chip (VERDICT r2 item #9,
+round-4 methodology fix: VERDICT r3 item #9).
 
 Sweeps the fused-kernel tunables (ps_chunk, sec_blocks) on two synthetic
 matrices shaped like the named workloads (config #3 Greenland-scale and
@@ -6,7 +7,16 @@ config #5 Antarctica-scale), checks correctness per configuration against
 the default-config apply, and prints a ``icebin_tpu.ops.tuning`` table
 entry for the measured device kind.
 
-Run on any chip:  python tools/autotune.py  [--quick]
+Timing is the BENCH-IDENTICAL two-point round-trip chain (the same
+methodology as tools/tune_real.py and bench.py: the EvI∘IvE scan timed at
+two chain lengths, slope = per-round-trip time, so the relay sync latency
+cancels EXACTLY): the r3 sweep's chain carried an extra full-array
+multiply per iteration and short chains, which rode relay-latency noise
+and once mis-ordered 256/512 ahead of 128/1024 (ops/tuning.py history).
+
+Run on any chip:  python tools/autotune.py  [--quick] [--real]
+``--real`` sweeps on the REAL config-#3 Greenland matrix (slower build,
+definitive; the synthetic default reproduces the same ordering on v5e).
 """
 import argparse
 import json
@@ -15,26 +25,27 @@ import time
 import numpy as np
 
 
-def timeit(fn, consts, carry, n1=8, n2=40):
+def timeit_rt(pm, fb, n1=64, n2=320, reps=6):
+    """Two-point round-trip chain, bench methodology (relay cancels)."""
     import jax
-    import jax.numpy as jnp
+    from icebin_tpu.ops import pallas_bdt as pb
 
     def mk(n):
         @jax.jit
-        def chain(cs, f0):
+        def chain(p, f0):
             def body(c, _):
-                out = fn(*cs, c)
-                return f0 * (1.0 + jnp.sum(out) * 1e-37), ()
+                e3 = pb.apply_small_blocked(p, c, scale=True)
+                return pb.apply_ice_blocked(p, e3, scale=True), ()
             c, _ = jax.lax.scan(body, f0, None, length=n)
             return c.sum()
         return chain
     c1, c2 = mk(n1), mk(n2)
-    float(c1(consts, carry)); float(c2(consts, carry))
+    float(c1(pm, fb)); float(c2(pm, fb))
     t1s, t2s = [], []
-    for _ in range(4):
-        t0 = time.perf_counter(); float(c1(consts, carry))
+    for _ in range(reps):
+        t0 = time.perf_counter(); float(c1(pm, fb))
         t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); float(c2(consts, carry))
+        t0 = time.perf_counter(); float(c2(pm, fb))
         t2s.append(time.perf_counter() - t0)
     return (min(t2s) - min(t1s)) / (n2 - n1)
 
@@ -60,6 +71,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="smaller matrices / fewer reps")
+    ap.add_argument("--real", action="store_true",
+                    help="sweep on the REAL config-#3 Greenland matrix "
+                         "(tools/tune_real.py's workload)")
+    ap.add_argument("--configs", default=None,
+                    help="comma list of psc:sec pairs (e.g. "
+                         "'128:1024,256:512'); default = the 3x3 grid")
     args = ap.parse_args()
 
     import jax
@@ -69,48 +86,55 @@ def main():
     kind = jax.devices()[0].device_kind
     print(f"# device_kind = {kind!r}", flush=True)
 
-    sizes = ([(200_000, 6_000)] if args.quick
-             else [(160_000, 8_000), (1_254_400, 30_000)])
-    mats = [synthetic_matrix(n, s) for n, s in sizes]
+    if args.real:
+        from tools.tune_real import build_weighted
+        mats = [build_weighted()]
+    else:
+        sizes = ([(200_000, 6_000)] if args.quick
+                 else [(160_000, 8_000), (1_254_400, 30_000)])
+        mats = [synthetic_matrix(n, s) for n, s in sizes]
     rng = np.random.default_rng(0)
 
-    best = {}
+    if args.configs:
+        cands = [tuple(int(x) for x in c.split(":"))
+                 for c in args.configs.split(",")]
+    else:
+        cands = [(psc, sec) for psc in (64, 128, 256)
+                 for sec in (512, 1024, 2048)]
+
     results = {}
-    for psc in (64, 128, 256):
-        for sec in (512, 1024, 2048):
-            pb.PS_CHUNK, pb.SEC_BLOCKS = psc, sec
-            pb._TUNED = True            # pin the sweep values
-            total = 0.0
-            ok = True
-            try:
-                for M in mats:
-                    pm = pb.pallas_from_weighted(M, small_axis="rows", nv=8)
-                    fI = jnp.asarray(rng.uniform(0.5, 1.5, (8, pm.nice)),
-                                     jnp.float32)
-                    fb = pm.ice_to_blocked(fI)
-                    # conservation gate per config
-                    e3 = pb.apply_small_blocked(pm, fb, scale=True)
-                    dev = np.asarray(pm.e3_to_small(e3)[0], np.float64)
-                    m_dev = np.sum(np.where(np.isfinite(dev), dev, 0.0)
-                                   * np.asarray(pm.wS, np.float64))
-                    m_src = np.sum(np.asarray(fI[0], np.float64)
-                                   * np.asarray(pm.wI, np.float64))
-                    if abs(m_dev - m_src) / abs(m_src) > 1e-5:
-                        ok = False
-                        break
-                    ta = timeit(lambda p, f: pb.apply_small_blocked(p, f),
-                                (pm,), fb)
-                    tb = timeit(lambda p, x: pb.apply_ice_blocked(p, x),
-                                (pm,), e3)
-                    total += ta + tb
-            except Exception as exc:     # e.g. scoped-VMEM OOM: skip config
-                print(f"  skip ({type(exc).__name__}: "
-                      f"{str(exc).splitlines()[0][:90]})", flush=True)
-                ok = False
-            results[(psc, sec)] = total if ok else float("inf")
-            print(f"ps_chunk={psc:4d} sec_blocks={sec:5d}: "
-                  f"{'FAIL' if not ok else f'{1e6*total:8.1f} us total rt'}",
-                  flush=True)
+    for (psc, sec) in cands:
+        pb.PS_CHUNK, pb.SEC_BLOCKS = psc, sec
+        pb._TUNED = True            # pin the sweep values
+        total = 0.0
+        ok = True
+        try:
+            for M in mats:
+                pm = pb.pallas_from_weighted(M, small_axis="rows", nv=8)
+                fI = jnp.asarray(rng.uniform(0.5, 1.5, (8, pm.nice)),
+                                 jnp.float32)
+                fb = pm.ice_to_blocked(fI)
+                # conservation gate per config
+                e3 = pb.apply_small_blocked(pm, fb, scale=True)
+                dev = np.asarray(pm.e3_to_small(e3)[0], np.float64)
+                m_dev = np.sum(np.where(np.isfinite(dev), dev, 0.0)
+                               * np.asarray(pm.wS, np.float64))
+                m_src = np.sum(np.asarray(fI[0], np.float64)
+                               * np.asarray(pm.wI, np.float64))
+                if abs(m_dev - m_src) / abs(m_src) > 1e-5:
+                    ok = False
+                    break
+                n1, n2 = (16, 80) if pm.npspad >= 8192 else (64, 320)
+                total += timeit_rt(pm, fb, n1=n1, n2=n2,
+                                   reps=4 if args.quick else 6)
+        except Exception as exc:     # e.g. scoped-VMEM OOM: skip config
+            print(f"  skip ({type(exc).__name__}: "
+                  f"{str(exc).splitlines()[0][:90]})", flush=True)
+            ok = False
+        results[(psc, sec)] = total if ok else float("inf")
+        print(f"ps_chunk={psc:4d} sec_blocks={sec:5d}: "
+              f"{'FAIL' if not ok else f'{1e6*total:8.1f} us total rt'}",
+              flush=True)
     (psc, sec) = min(results, key=results.get)
     key = kind.lower().replace(" ", "").replace("tpu", "")
     print("\n# paste into icebin_tpu/ops/tuning.py _TABLE:")
