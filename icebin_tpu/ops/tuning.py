@@ -32,9 +32,13 @@ field-section double buffer is paid for by the lower E3-section budget
 (ops.pallas_bdt E_SEC).  RE-CONFIRMED on the r5 (E-sectioned) kernels
 with two-point timing on the REAL config-#3 matrix (tools/tune_real.py,
 2026-08): {128/1024: 169.9 us, 128/512: 177.5, 256/512: 206.5, 64/512:
-182.1, 256/768: 184.4} -> 128/1024 stands.  (tools/autotune.py's chained
-timing rides relay-latency noise and once suggested 256/512; trust the
-two-point tool for ordering.)  v5p (v5e-generation core, larger HBM
+182.1, 256/768: 184.4} -> 128/1024 stands.  tools/autotune.py now uses
+the SAME bench-identical two-point round-trip chain (r4: its old chain
+carried a full-array multiply per iteration and rode relay noise) and
+REPRODUCES this ordering on v5e (`--real --configs ...`, 2026-08:
+128/1024 165.5 < 128/512 175.3 < 64/512 179.5 < 256/768 187.5 <
+256/512 207.0), so its first run on a new chip yields a trustworthy
+table entry.  v5p (v5e-generation core, larger HBM
 bandwidth 2765 GB/s, same 16 MB-class VMEM) starts from the v5e entry;
 v4/v6e likewise until swept on real chips.
 """

@@ -20,9 +20,12 @@ definitive; the synthetic default reproduces the same ordering on v5e).
 """
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
 
 
 def timeit_rt(pm, fb, n1=64, n2=320, reps=6):
