@@ -114,11 +114,15 @@ class IceFluxes(NamedTuple):
     mass_clamp: jnp.ndarray     # mass the >=0 thickness clamp ADDED (the
                                 # explicit scheme's margin correction +
                                 # unfulfilled negative SMB), booked so the
-                                # ledger closes to round-off
+                                # ledger closes to round-off.  LEDGER-ONLY
+                                # row: models may return the SCALAR total
+                                # (sum over cells) instead of a per-cell
+                                # field -- the coupler only ever sums it
     enth_runoff: jnp.ndarray    # column enthalpy leaving with runoff mass
     enth_basal: jnp.ndarray     # latent energy leaving with basal meltwater
     enth_calving: jnp.ndarray   # column enthalpy leaving with calved mass
-    enth_clamp: jnp.ndarray     # enthalpy discarded by zero-thickness clamps
+    enth_clamp: jnp.ndarray     # enthalpy discarded by zero-thickness
+                                # clamps (ledger-only: scalar total allowed)
     latent_pdd: jnp.ndarray     # L_f * runoff: energy the PDD scheme implies
 
 
@@ -314,10 +318,11 @@ def apply_ablation_energy(H1, U, melt_act, calv_act):
     U: column energy after dynamics + surface/basal energy input.
     melt_act/calv_act: thicknesses ablation_ghosted removed [m].
 
-    Returns (H_out, U_out, basal_act, eU_run, eU_calv, e_basal, e_clamp):
-    every energy term is EXACTLY what was deducted from U (the ledger books
-    these, so the energy account closes by construction); basal_act is the
-    thickness the energy budget melted [m].
+    Returns (H_out, U_out, basal_act, eU_run, eU_calv, e_clamp): every
+    energy term is EXACTLY what was deducted from U (the ledger books
+    these, so the energy account closes by construction); basal_act is
+    the thickness the energy budget melted [m] (its latent energy
+    RHO_ICE * L_FUSION * basal_act is derived, not carried).
     """
     safe1 = jnp.maximum(H1, 1e-30)
     eU_run = jnp.where(H1 > 0, U * (melt_act / safe1), 0.0)
@@ -331,15 +336,14 @@ def apply_ablation_energy(H1, U, melt_act, calv_act):
     # basal/temperate-excess melt: positive column energy converts ice to
     # meltwater at the base; the latent energy leaves with the water
     basal_act = jnp.minimum(jnp.maximum(U, 0.0) / (RHO_ICE * L_FUSION), H3)
-    e_basal = RHO_ICE * L_FUSION * basal_act
-    U = U - e_basal
+    U = U - RHO_ICE * L_FUSION * basal_act
     H4 = H3 - basal_act
 
     # zero-thickness clamp: an ice-free cell stores no enthalpy; whatever
     # U remains there (leftover excess, discarded cold content) is booked
     e_clamp = jnp.where(H4 > 0, 0.0, U)
     U = jnp.where(H4 > 0, U, 0.0)
-    return H4, U, basal_act, eU_run, eU_calv, e_basal, e_clamp
+    return H4, U, basal_act, eU_run, eU_calv, e_clamp
 
 
 def step(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
@@ -384,10 +388,15 @@ def step_coupled(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
         a = jnp.concatenate([a[:1], a, a[-1:]], axis=0)
         return jnp.concatenate([a[:, :1], a, a[:, -1:]], axis=1)
 
-    def substep(carry, _):
-        H, U, t_done, cums = carry
+    bedg = pad(state.bed)          # loop-invariant: hoisted from the scan
+
+    def substep(carry):
+        # carry: 5 per-cell flux cums (contract rows) + 2 SCALAR clamp
+        # books -- ledger-only quantities summed per substep instead of
+        # carried as fields
+        H, U, t_done, cums, clamp_s, eclamp_s, it = carry
         Hg = pad(H)
-        sg = pad(state.bed) + Hg
+        sg = bedg + Hg
         Ug = pad(U)
         div, divE, Dmax = sia_flux_div_energy_ghosted(Hg, sg, Ug,
                                                       cfg.dx, cfg.dy)
@@ -402,40 +411,45 @@ def step_coupled(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
         # the ice side and accounted by the coupler ledger as 'unmelted').
         H_dyn = H + (div + smb) * dt_sub
         H_new = jnp.maximum(H_dyn, 0.0)
-        clampg = H_new - H_dyn            # >=0: mass the clamp fabricated
+        clamp_s = clamp_s + jnp.sum(H_new - H_dyn)   # clamp-fabricated mass
         U_new = U + divE * dt_sub
         if ef is not None:
             U_new = U_new + ef * dt_sub
         if ts is not None:
             H_new, melt, calv = ablation_ghosted(Hg, H_new, ts, cfg, dt_sub)
             H_pre = H_new + melt + calv   # thickness the removals came from
-            (H_new, U_new, basal, eU_run, eU_calv, e_basal,
+            (H_new, U_new, basal, eU_run, eU_calv,
              e_clamp) = apply_ablation_energy(H_pre, U_new, melt, calv)
             cums = [c + d for c, d in zip(cums, (
-                melt, basal, calv, clampg, eU_run, e_basal, eU_calv,
-                e_clamp))]
+                melt, basal, calv, eU_run, eU_calv))]
         else:
             e_clamp = jnp.where(H_new > 0, 0.0, U_new)
             U_new = jnp.where(H_new > 0, U_new, 0.0)
-            cums = (cums[:3] + [cums[3] + clampg] + cums[4:7]
-                    + [cums[7] + e_clamp])
-        return (H_new, U_new, t_done + dt_sub, cums), None
+        eclamp_s = eclamp_s + jnp.sum(e_clamp)
+        return (H_new, U_new, t_done + dt_sub, cums, clamp_s,
+                eclamp_s, it + 1)
 
     z = jnp.zeros_like(state.H)
-    cums0 = [z] * 8
-    (H, U, t_done, cums), _ = jax.lax.scan(
-        substep, (state.H, state.enth, jnp.zeros((), state.H.dtype), cums0),
-        None, length=cfg.n_substeps_max)
+    zs = jnp.zeros((), state.H.dtype)
+    # while_loop, not a static-length scan: the CFL usually finishes in
+    # far fewer than n_substeps_max substeps, and a zero-dt substep is an
+    # exact no-op, so early exit is bit-identical and saves the wasted
+    # full-stencil passes (the dominant coupling-step cost at toy sizes)
+    (H, U, t_done, cums, clamp_s, eclamp_s, _it) = jax.lax.while_loop(
+        lambda c: (c[2] < dt) & (c[6] < cfg.n_substeps_max),
+        substep,
+        (state.H, state.enth, jnp.zeros((), state.H.dtype), [z] * 5, zs,
+         zs, jnp.zeros((), jnp.int32)))
     new_state = IceSheetState(H=H, bed=state.bed, t=state.t + dt, enth=U)
-    melt_c, basal_c, calv_c, clamp_c, er_c, eb_c, ec_c, ecl_c = cums
+    melt_c, basal_c, calv_c, er_c, ec_c = cums
     fluxes = IceFluxes(
         runoff=melt_c * (RHO_ICE / dt),
         basal_melt=basal_c * (RHO_ICE / dt),
         calving=calv_c * (RHO_ICE / dt),
-        mass_clamp=clamp_c * (RHO_ICE / dt),
+        mass_clamp=clamp_s * (RHO_ICE / dt),      # scalar total
         enth_runoff=er_c / dt,
-        enth_basal=eb_c / dt,
+        enth_basal=basal_c * (RHO_ICE * L_FUSION / dt),   # derived
         enth_calving=ec_c / dt,
-        enth_clamp=ecl_c / dt,
+        enth_clamp=eclamp_s / dt,                 # scalar total
         latent_pdd=melt_c * (RHO_ICE * L_FUSION / dt))
     return new_state, fluxes

@@ -90,13 +90,13 @@ def make_sharded_ice_step(mesh, ny_real=None):
                                        e_srf=efl if has_ef else None)
 
         sm = shard_map(local, mesh=mesh, in_specs=(P(ICE_AXIS),) * 6,
-                       out_specs=(P(ICE_AXIS),) * 10, check_vma=False)
+                       out_specs=(P(ICE_AXIS),) * 9, check_vma=False)
         return sm(H, bed, U, smb2, ts2, ef2)
 
     def step_like(cfg, state, smb_flux, tsurf, dt, enth_flux=None):
         if cfg.ny % n:
             raise ValueError(f"ny={cfg.ny} not divisible by {n} devices")
-        H1, U1, melt, basal, calv, clampg, er, eb, ec, ecl = _advance(
+        H1, U1, melt, basal, calv, er, ec, clamp_s, eclamp_s = _advance(
             cfg, state.H, state.bed, state.enth, smb_flux,
             tsurf if tsurf is not None else state.H,
             enth_flux if enth_flux is not None else state.H,
@@ -106,9 +106,11 @@ def make_sharded_ice_step(mesh, ny_real=None):
         fx = IceFluxes(runoff=melt * (_RHO / dt),
                        basal_melt=basal * (_RHO / dt),
                        calving=calv * (_RHO / dt),
-                       mass_clamp=clampg * (_RHO / dt),
-                       enth_runoff=er / dt, enth_basal=eb / dt,
-                       enth_calving=ec / dt, enth_clamp=ecl / dt,
+                       mass_clamp=jnp.sum(clamp_s) * (_RHO / dt),  # scalar
+                       enth_runoff=er / dt,
+                       enth_basal=basal * (_RHO * _LF / dt),  # derived
+                       enth_calving=ec / dt,
+                       enth_clamp=jnp.sum(eclamp_s) / dt,     # scalar
                        latent_pdd=melt * (_RHO * _LF / dt))
         return new_state, fx
 
@@ -167,9 +169,10 @@ def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
     update so the real/pad boundary flux is exactly zero, and pad-row
     fluxes never reach the cumulative books.
 
-    Returns (H1, U1, melt, basal, calv, eU_run, e_basal, eU_calv,
-    e_clamp) cumulative per-cell totals [m] / [J m-2]; ``U=None`` runs a
-    zero energy column (demo paths)."""
+    Returns (H1, U1, melt, basal, calv, eU_run, eU_calv, clamp_s,
+    eclamp_s): five cumulative per-cell totals [m] / [J m-2] plus two
+    (1,)-shaped LOCAL scalar clamp books (ledger-only; the caller sums
+    across shards); ``U=None`` runs a zero energy column (demo paths)."""
     from icebin_tpu.models.ice_sheet import (ablation_ghosted,
                                              apply_ablation_energy)
 
@@ -184,12 +187,14 @@ def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
         last = jnp.take(Hn, jnp.maximum(rows_real - 1, 0), axis=0)
         return jnp.where(live, Hn, last[None, :])
 
-    def substep(carry, _):
-        Hl, Ul, t_done, cums = carry
-        def padx(a):   # x is unsharded in the 1-D decomposition
-            return jnp.concatenate([a[:, :1], a, a[:, -1:]], axis=1)
+    def padx(a):   # x is unsharded in the 1-D decomposition
+        return jnp.concatenate([a[:, :1], a, a[:, -1:]], axis=1)
+
+    bg = padx(halo_exchange_rows(bed, 1, ICE_AXIS))   # loop-invariant
+
+    def substep(carry):
+        Hl, Ul, t_done, cums, clamp_s, eclamp_s, it = carry
         Hg = padx(halo_exchange_rows(Hl, 1, ICE_AXIS))
-        bg = padx(halo_exchange_rows(bed, 1, ICE_AXIS))
         Ug = padx(halo_exchange_rows(Ul, 1, ICE_AXIS))
         div, divE, Dmax_local = sia_flux_div_energy_ghosted(
             Hg, Hg + bg, Ug, dx, dy)
@@ -202,37 +207,44 @@ def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
         H_dyn = Hl + (div + smb) * dts
         Hn2 = jnp.maximum(H_dyn, 0.0)
         clampg = Hn2 - H_dyn
+        if rows_real is not None:
+            clampg = jnp.where(live, clampg, 0.0)
+        clamp_s = clamp_s + jnp.sum(clampg)
         Un2 = Ul + divE * dts
         if e_srf is not None:
             Un2 = Un2 + e_srf * dts
         if tsurf is not None:
             Hn2, melt, calv = ablation_ghosted(Hg, Hn2, tsurf, cfg, dts)
             H_pre = Hn2 + melt + calv
-            (Hn2, Un2, basal, eU_run, eU_calv, e_basal,
+            (Hn2, Un2, basal, eU_run, eU_calv,
              e_clamp) = apply_ablation_energy(H_pre, Un2, melt, calv)
-            deltas = (melt, basal, calv, clampg, eU_run, e_basal, eU_calv,
-                      e_clamp)
+            deltas = (melt, basal, calv, eU_run, eU_calv)
             if rows_real is not None:
                 deltas = tuple(jnp.where(live, d, 0.0) for d in deltas)
             cums = [c + d for c, d in zip(cums, deltas)]
         else:
             e_clamp = jnp.where(Hn2 > 0, 0.0, Un2)
             Un2 = jnp.where(Hn2 > 0, Un2, 0.0)
-            if rows_real is not None:
-                e_clamp = jnp.where(live, e_clamp, 0.0)
-                clampg = jnp.where(live, clampg, 0.0)
-            cums = (cums[:3] + [cums[3] + clampg] + cums[4:7]
-                    + [cums[7] + e_clamp])
         if rows_real is not None:
+            e_clamp = jnp.where(live, e_clamp, 0.0)
             Hn2 = _fix_pad(Hn2)
             Un2 = _fix_pad(Un2)
-        return (Hn2, Un2, t_done + dt_sub, cums), None
+        eclamp_s = eclamp_s + jnp.sum(e_clamp)
+        return (Hn2, Un2, t_done + dt_sub, cums, clamp_s, eclamp_s,
+                it + 1)
 
     z = jnp.zeros_like(H)
-    (H1, U1, _, cums), _ = jax.lax.scan(
-        substep, (H, U, jnp.zeros((), H.dtype), [z] * 8), None,
-        length=n_substeps)
-    return (H1, U1) + tuple(cums)
+    zs = jnp.zeros((), H.dtype)
+    # while_loop early exit (bit-identical: zero-dt substeps are exact
+    # no-ops); every shard agrees on the trip count because dt_sub comes
+    # from the GLOBAL pmax'd CFL
+    (H1, U1, _, cums, clamp_s, eclamp_s, _it) = jax.lax.while_loop(
+        lambda c: (c[2] < dt) & (c[6] < n_substeps),
+        substep,
+        (H, U, jnp.zeros((), H.dtype), [z] * 5, zs, zs,
+         jnp.zeros((), jnp.int32)))
+    return (H1, U1) + tuple(cums) + (clamp_s.reshape(1),
+                                     eclamp_s.reshape(1))
 
 
 def make_sharded_step(mesh, ice_cfg: IceSheetConfig, nsmall_E: int,

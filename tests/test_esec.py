@@ -228,3 +228,54 @@ def test_coupler_wide_E_pallas_end_to_end():
     rel = abs(row["s.mass_in_E"] - row["s.mass_delivered_I"]) \
         / abs(row["s.mass_in_E"])
     assert rel < 1e-10
+
+
+def test_one_group_fast_path_config3_shape():
+    """The round-4 one-group fast path (config #3's shape: nesec > 1 but
+    every realized window in ONE section): dest-ice returns the kernel's
+    scaled partial padded with exact zeros -- no cross-group sum -- and
+    both directions match the dense reference."""
+    rng = np.random.default_rng(7)
+    nsmall, nice = 2048, 1024                     # NW=256 -> 4 sections
+    # entries ONLY in section 2 (windows [128, 192) = rows [1024, 1536))
+    n = 1200
+    rows = rng.integers(1024, 1536, n).astype(np.int64)
+    cols = rng.integers(0, nice, n).astype(np.int64)
+    key = rows * nice + cols
+    uk, inv = np.unique(key, return_inverse=True)
+    M = WeightedMatrix(rows=(uk // nice), cols=(uk % nice),
+                       vals=np.bincount(inv, weights=np.ones(n)),
+                       shape=(nsmall, nice))
+    pm = pallas_from_weighted(M, small_axis="rows", e_sec=64, sec_blocks=4)
+    assert pm.nesec == 4
+    assert len(pm.egroups) == 1 and pm.egroups[0][2] == 2
+    _check_both(pm, M, rng)
+    # dest-small: rows outside the group's section are exact zeros
+    f = rng.uniform(0.5, 1.5, (2, nice)).astype(np.float32)
+    out = np.asarray(apply_small(pm, f, scale=False))
+    assert np.all(out[:, :1024] == 0.0)
+    assert np.all(out[:, 1536:] == 0.0)
+
+
+def test_one_group_partial_ice_coverage():
+    """One-group fast path where the group covers only the UPPER ice
+    section (lo > 0): the uncovered ice blocks come back as exact zeros
+    through the concat, and values match the dense reference."""
+    rng = np.random.default_rng(8)
+    nsmall, nice = 2048, 1024
+    n = 900
+    rows = rng.integers(1024, 1536, n).astype(np.int64)   # esec 2 only
+    cols = rng.integers(512, 1024, n).astype(np.int64)    # isec 1 only
+    key = rows * nice + cols
+    uk, inv = np.unique(key, return_inverse=True)
+    M = WeightedMatrix(rows=(uk // nice), cols=(uk % nice),
+                       vals=np.bincount(inv, weights=np.ones(n)),
+                       shape=(nsmall, nice))
+    pm = pallas_from_weighted(M, small_axis="rows", e_sec=64, sec_blocks=4)
+    assert pm.nesec == 4 and len(pm.egroups) == 1
+    _c0, _c1, e, lo, hi = pm.egroups[0]
+    assert e == 2 and lo == 1
+    _check_both(pm, M, rng)
+    g = rng.uniform(0.5, 1.5, (2, nsmall)).astype(np.float32)
+    outi = np.asarray(apply_ice(pm, g, scale=False))
+    assert np.all(outi[:, :512] == 0.0)
