@@ -75,7 +75,7 @@ class IceSheetConfig:
     dx: float                 # m
     dy: float                 # m
     dt_max: float = 0.1 * 365.2425 * 86400.0   # max internal substep [s]
-    n_substeps_max: int = 64  # static bound for lax.scan substepping
+    n_substeps_max: int = 64  # hard bound on CFL substeps per step
     # -- ablation physics (the ice->GCM mass-LOSS half of the coupling
     #    budget; reference: PISM's surface melt + calving harvested as
     #    pism_out fluxes [U IceCoupler_PISM]) --
@@ -352,8 +352,8 @@ def step(cfg: IceSheetConfig, state: IceSheetState, smb_flux,
 
     smb_flux: (ny*nx,) or (ny, nx) surface mass balance [kg m-2 s-1]
     (ice gain positive).  Internally substeps at the diffusive CFL limit
-    using a static-bound ``lax.scan`` (jit-friendly: no data-dependent trip
-    count; excess substeps are masked no-ops).
+    using a ``lax.while_loop`` bounded by ``n_substeps_max`` (jit-friendly;
+    exits as soon as the interval is integrated).
     """
     new_state, _ = step_coupled(cfg, state, smb_flux, None, dt)
     return new_state
