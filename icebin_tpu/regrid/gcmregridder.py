@@ -73,11 +73,15 @@ class GCMRegridder:
         return Indexing.f_order((self.nhc, nlon, nlat),
                                 names=("hc", "lon", "lat"))
 
-    def _areaA_proj_for(self, specI: GridSpecXY) -> np.ndarray:
+    def _areaA_proj_for(self, specI: GridSpecXY,
+                        subdiv: int = 2) -> np.ndarray:
         """Projected-plane area of each full A cell under the sheet's
         projection (native area where the cell doesn't project sanely, making
-        the correctA ratio exactly 1 there)."""
-        polysA, keep = prepare_subject_polygons(self.specA, specI, subdiv=2)
+        the correctA ratio exactly 1 there).  ``subdiv`` matches the
+        exchange build's edge subdivision so the correctA measure and the
+        overlap areas share one polygon approximation."""
+        polysA, keep = prepare_subject_polygons(self.specA, specI,
+                                                subdiv=subdiv)
         x = polysA[:, :, 0]
         y = polysA[:, :, 1]
         a = 0.5 * np.abs(np.sum(x * np.roll(y, -1, axis=1)
@@ -92,7 +96,8 @@ class GCMRegridder:
             exchange = make_exchange_grid(self.gridA, gridI, subdiv=subdiv,
                                           engine=engine)
         sheet = IceSheet(name=name, gridI=gridI, exchange=exchange,
-                         areaA_proj=self._areaA_proj_for(gridI.spec))
+                         areaA_proj=self._areaA_proj_for(gridI.spec,
+                                                         subdiv=subdiv))
         self.sheets[name] = sheet
         return sheet
 
