@@ -172,7 +172,8 @@ def make_polyclip_engine(engine: str = "jax", dtype=None):
     for CONVEX clip rings (round 4: generic x generic exchange grids).
 
     Engines: 'numpy' (f64 oracle), 'jax' (XLA), 'pallas' (TPU kernel;
-    Vc <= 4 and V0 <= 16 -- triangles duplicate-pad to quads)."""
+    Vc <= 8 and V0 <= 16 -- smaller clip rings duplicate-pad to the next
+    step size in {4, 8})."""
     if engine == "numpy":
         from icebin_tpu.oracle.clip import (clip_polys_polys as _cpp,
                                             polygon_areas as _pa,
@@ -207,14 +208,19 @@ def make_polyclip_engine(engine: str = "jax", dtype=None):
             if subj.shape[1] < kv:
                 pad = np.repeat(subj[:, -1:, :], kv - subj.shape[1], axis=1)
                 subj = np.concatenate([subj, pad], axis=1)
-            if clip.shape[1] < VC_MAX:
-                pad = np.repeat(clip[:, -1:, :], VC_MAX - clip.shape[1],
+            kc = 4 if clip.shape[1] <= 4 else VC_MAX   # step sizes {4, 8}
+            if clip.shape[1] < kc:
+                pad = np.repeat(clip[:, -1:, :], kc - clip.shape[1],
                                 axis=1)
                 clip = np.concatenate([clip, pad], axis=1)
         if Bp != B:
+            # Pad-pair invariant: an all-zero CLIP ring is a NO-OP (every
+            # zero-length clip edge gives d == 0, which KEEPS subject
+            # vertices) -- pad results are zero-area only because the pad
+            # SUBJECTS are also all-zero rings (zero shoelace area), and
+            # the a[:B] slice drops them regardless.
             subj = np.concatenate(
                 [subj, np.zeros((Bp - B,) + subj.shape[1:], subj.dtype)])
-            # degenerate pad clips (all-zero rings clip everything away)
             clip = np.concatenate(
                 [clip, np.zeros((Bp - B,) + clip.shape[1:], clip.dtype)])
         if engine == "pallas":

@@ -130,6 +130,20 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _default_e_sec(nv: int) -> int:
+    """NV-aware E-section default: the E3 accumulator (+ winvS twin) costs
+    ``e_sec * TILE_R * nv * 4`` resident bytes, so the NV=8-budgeted E_SEC
+    shrinks proportionally for wider field batches (NV=64 -> 512)."""
+    return max(TILE_R, (E_SEC * 8 // max(nv, 8)) // TILE_R * TILE_R)
+
+
+def _default_sec_blocks(nv: int) -> int:
+    """NV-aware ice-section default: the field/accumulator section block
+    costs ``sec_blocks * nv * TILE_C * 4`` (double-buffered), so the
+    NV=8-budgeted SEC_BLOCKS shrinks proportionally (NV=64 -> 128)."""
+    return max(TILE_R, SEC_BLOCKS * 8 // max(nv, 8))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PallasBDT:
@@ -259,6 +273,8 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS,
     (this is the test-hook path for the overflow epilogue — small inputs).
     """
     _ensure_tuned()
+    if e_sec is None:
+        e_sec = _default_e_sec(nv)
     tiles = np.asarray(bm.tiles, np.float32)          # (nblk, T, 8, 128)
     row_start = np.asarray(bm.row_start, np.int64)
     nsmall, nice = bm.nsmall, bm.nice
@@ -394,9 +410,9 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     # -- no blocked-layout inflation; a mesh build passes a COMMON
     # sec_blocks so every shard's section scheme matches)
     if sec_blocks is None:
-        sec_blocks = min(SEC_BLOCKS, nblkpad)
+        sec_blocks = min(_default_sec_blocks(nv), nblkpad)
     if e_sec is None:
-        e_sec = E_SEC
+        e_sec = _default_e_sec(nv)
     assert e_sec % TILE_R == 0 and e_sec >= TILE_R
     ridx = np.nonzero(haspid)[0]
     nsec = max(1, -(-nblkpad // sec_blocks))
@@ -615,6 +631,8 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
     hook for the overflow epilogue); the default direct packer has no cap.
     """
     _ensure_tuned()
+    if e_sec is None:
+        e_sec = _default_e_sec(nv)
     if max_tiles_per_block is not None:
         from icebin_tpu.ops.bdt import bdt_from_weighted
         bm = bdt_from_weighted(M, small_axis=small_axis,
@@ -770,7 +788,8 @@ def _split3_dot(oh_bool, x, dims):
 def _fused_ice_kernel(PSC, ts, W8, sec_blocks, c0, eoff, scale, unroll,
                       base_ref, p2b_ref, si_ref, fl_ref,
                       e3_ref, tiles_ref, woffT_ref, winv_ref,
-                      out_ref, fwin_ref, fu_ref, va_ref):
+                      out_ref, fwin_ref, fu_ref, *maybe_va):
+    va_ref = maybe_va[0] if maybe_va else None
     """Fused dest-ice: one chunk per grid step.
 
     The one-hot-transpose band matmul gathers E3 window rows into the
@@ -929,8 +948,9 @@ def _mk_fused_ice(pm: PallasBDT, interpret: bool, scale: bool = False,
                                                          0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((C2, TILE_R * NV), jnp.float32),
-                        pltpu.VMEM((PSC, TILE_R * ts, NV), jnp.float32),
-                        pltpu.VMEM((PSC, NV, TILE_C), jnp.float32)],
+                        pltpu.VMEM((PSC, TILE_R * ts, NV), jnp.float32)]
+        + ([pltpu.VMEM((PSC, NV, TILE_C), jnp.float32)]
+           if ICE_BATCHED else []),
     )
     return pl.pallas_call(
         functools.partial(_fused_ice_kernel, PSC, ts, W8, SEC, c0, eoff,

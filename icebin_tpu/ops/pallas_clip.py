@@ -28,10 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["clip_areas_centroids_pallas", "clip_areas_centroids_poly_pallas",
            "PAIRS_PER_TILE", "V0", "V0_MAX", "VC_MAX"]
 
-VC_MAX = 4      # clip-ring vertex slots on the Pallas path (quads;
-                # triangles duplicate-pad -- a zero-length clip edge is a
-                # no-op pass.  Vc passes double the ring buffer each, so
-                # wider convex clips route to the jax/numpy engines.)
+VC_MAX = 8      # max clip-ring vertex slots on the Pallas path (round 5:
+                # hex/oct convex clips -- MPAS-style meshes -- run in-kernel;
+                # triangles/pentagons duplicate-pad to the next step size in
+                # {4, 8}, a zero-length clip edge being a no-op pass.  Each
+                # clip-edge pass doubles the ring buffer, so a V0=8 subject
+                # ends at 8*2^8 = 2048 sublanes for VC=8 (1 MB f32 per
+                # buffer -- comfortably VMEM; wider convex clips route to
+                # the jax/numpy engines).
 
 PAIRS_PER_TILE = 128
 V0 = 8          # default subject vertex slots (subdiv<=2 lat-lon cells)
@@ -115,19 +119,21 @@ def _finish_area_centroid(x, y, area_ref, cx_ref, cy_ref):
 
 def _polyclip_kernel(x_ref, y_ref, qx_ref, qy_ref, area_ref, cx_ref,
                      cy_ref):
-    """Subject rings x CONVEX clip QUADS (round 4): one half-plane pass per
-    clip edge, d = cross(b - a, p - a); duplicate clip vertices give d == 0
-    everywhere (a no-op pass), so triangles pad free.  Same buffer
-    doubling as the rect kernel: V0 -> 16*V0 after 4 passes."""
+    """Subject rings x CONVEX clip rings (round 4 quads; round 5 any
+    Vc <= VC_MAX): one half-plane pass per clip edge, d = cross(b - a,
+    p - a); duplicate clip vertices give d == 0 everywhere (a no-op
+    pass), so smaller rings pad free.  Same buffer doubling as the rect
+    kernel: V0 -> V0 * 2^Vc after the Vc passes."""
     x = x_ref[:]                      # (V0, 128)
     y = y_ref[:]
-    qx = qx_ref[:]                    # (VC_MAX, 128) clip-quad vertices
+    qx = qx_ref[:]                    # (Vc, 128) clip-ring vertices
     qy = qy_ref[:]
-    for k in range(VC_MAX):
+    vc = qx.shape[0]
+    for k in range(vc):
         ax = qx[k:k + 1, :]
         ay = qy[k:k + 1, :]
-        bx = qx[(k + 1) % VC_MAX:(k + 1) % VC_MAX + 1, :]
-        by = qy[(k + 1) % VC_MAX:(k + 1) % VC_MAX + 1, :]
+        bx = qx[(k + 1) % vc:(k + 1) % vc + 1, :]
+        by = qy[(k + 1) % vc:(k + 1) % vc + 1, :]
         d = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
         x, y = _halfplane_pass(x, y, d)
     _finish_area_centroid(x, y, area_ref, cx_ref, cy_ref)
@@ -189,16 +195,16 @@ def clip_areas_centroids_poly_pallas(polys, clips):
     """Subject rings x convex clip QUADS on the Pallas path (round 4).
 
     polys: (B, v0, 2) recentered subject rings, v0 in {8, 16};
-    clips: (B, VC_MAX, 2) recentered CCW convex clip rings (triangles
-    duplicate-padded).  B a multiple of 128.
+    clips: (B, vc, 2) recentered CCW convex clip rings, vc in {4, 8}
+    (smaller rings duplicate-pad to the next step).  B a multiple of 128.
     """
     B = polys.shape[0]
     v0 = polys.shape[1]
     if v0 not in (V0, V0_MAX):
         raise ValueError(f"pallas poly-clip supports v0 in "
                          f"{{{V0}, {V0_MAX}}} (got {v0})")
-    if clips.shape[1] != VC_MAX:
-        raise ValueError(f"pallas poly-clip needs exactly {VC_MAX} clip "
+    if clips.shape[1] not in (4, VC_MAX):
+        raise ValueError(f"pallas poly-clip needs 4 or {VC_MAX} clip "
                          f"vertex slots (duplicate-pad smaller rings)")
     xs = polys[:, :, 0].T.astype(jnp.float32)       # (v0, B)
     ys = polys[:, :, 1].T.astype(jnp.float32)
@@ -212,7 +218,8 @@ def clip_areas_centroids_poly_pallas(polys, clips):
     area, cx, cy = pl.pallas_call(
         _polyclip_kernel,
         grid=grid,
-        in_specs=[vspec(v0), vspec(v0), vspec(VC_MAX), vspec(VC_MAX)],
+        in_specs=[vspec(v0), vspec(v0), vspec(clips.shape[1]),
+                  vspec(clips.shape[1])],
         out_specs=(vspec(1), vspec(1), vspec(1)),
         out_shape=(jax.ShapeDtypeStruct((1, B), jnp.float32),
                    jax.ShapeDtypeStruct((1, B), jnp.float32),

@@ -90,13 +90,14 @@ def make_sharded_ice_step(mesh, ny_real=None):
                                        e_srf=efl if has_ef else None)
 
         sm = shard_map(local, mesh=mesh, in_specs=(P(ICE_AXIS),) * 6,
-                       out_specs=(P(ICE_AXIS),) * 9, check_vma=False)
+                       out_specs=(P(ICE_AXIS),) * 10, check_vma=False)
         return sm(H, bed, U, smb2, ts2, ef2)
 
     def step_like(cfg, state, smb_flux, tsurf, dt, enth_flux=None):
         if cfg.ny % n:
             raise ValueError(f"ny={cfg.ny} not divisible by {n} devices")
-        H1, U1, melt, basal, calv, er, ec, clamp_s, eclamp_s = _advance(
+        (H1, U1, melt, basal, calv, er, ec, elat, clamp_s,
+         eclamp_s) = _advance(
             cfg, state.H, state.bed, state.enth, smb_flux,
             tsurf if tsurf is not None else state.H,
             enth_flux if enth_flux is not None else state.H,
@@ -111,7 +112,9 @@ def make_sharded_ice_step(mesh, ny_real=None):
                        enth_basal=basal * (_RHO * _LF / dt),  # derived
                        enth_calving=ec / dt,
                        enth_clamp=jnp.sum(eclamp_s) / dt,     # scalar
-                       latent_pdd=melt * (_RHO * _LF / dt))
+                       # implied-atmospheric share only (round 5; the
+                       # column-supplied part rides enth_runoff)
+                       latent_pdd=melt * (_RHO * _LF / dt) - elat / dt)
         return new_state, fx
 
     step_like.jittable = True    # pure shard_map: safe under an outer jit
@@ -169,10 +172,13 @@ def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
     update so the real/pad boundary flux is exactly zero, and pad-row
     fluxes never reach the cumulative books.
 
-    Returns (H1, U1, melt, basal, calv, eU_run, eU_calv, clamp_s,
-    eclamp_s): five cumulative per-cell totals [m] / [J m-2] plus two
+    Returns (H1, U1, melt, basal, calv, eU_run, eU_calv, elat, clamp_s,
+    eclamp_s): six cumulative per-cell totals [m] / [J m-2] plus two
     (1,)-shaped LOCAL scalar clamp books (ledger-only; the caller sums
-    across shards); ``U=None`` runs a zero energy column (demo paths)."""
+    across shards); ``U=None`` runs a zero energy column (demo paths).
+    ``elat`` is the column-supplied share of the surface-melt latent heat
+    (round 5 PDD/enthalpy unification -- see
+    ``models.ice_sheet.apply_ablation_energy``)."""
     from icebin_tpu.models.ice_sheet import (ablation_ghosted,
                                              apply_ablation_energy)
 
@@ -217,8 +223,9 @@ def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
             Hn2, melt, calv = ablation_ghosted(Hg, Hn2, tsurf, cfg, dts)
             H_pre = Hn2 + melt + calv
             (Hn2, Un2, basal, eU_run, eU_calv,
-             e_clamp) = apply_ablation_energy(H_pre, Un2, melt, calv)
-            deltas = (melt, basal, calv, eU_run, eU_calv)
+             e_clamp, e_lat) = apply_ablation_energy(H_pre, Un2, melt,
+                                                     calv)
+            deltas = (melt, basal, calv, eU_run, eU_calv, e_lat)
             if rows_real is not None:
                 deltas = tuple(jnp.where(live, d, 0.0) for d in deltas)
             cums = [c + d for c, d in zip(cums, deltas)]
@@ -241,7 +248,7 @@ def _sia_substeps_local(H, bed, smb, tsurf, dt, cfg: IceSheetConfig, dx, dy,
     (H1, U1, _, cums, clamp_s, eclamp_s, _it) = jax.lax.while_loop(
         lambda c: (c[2] < dt) & (c[6] < n_substeps),
         substep,
-        (H, U, jnp.zeros((), H.dtype), [z] * 5, zs, zs,
+        (H, U, jnp.zeros((), H.dtype), [z] * 6, zs, zs,
          jnp.zeros((), jnp.int32)))
     return (H1, U1) + tuple(cums) + (clamp_s.reshape(1),
                                      eclamp_s.reshape(1))

@@ -178,7 +178,10 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     budget = 15 * 2**20                          # 16 MB scoped VMEM, margin
     tiles_db = 2 * PS_CHUNK * (ts or TS) * TILE_R * TILE_C * 4
     field_db = 2 * sec_cap * nv * TILE_C * 4
+    from icebin_tpu.ops.pallas_bdt import ICE_BATCHED
     scratch = PS_CHUNK * (ts or TS) * TILE_R * nv * 4 + 2**18
+    if ICE_BATCHED:     # the batched-product scratch (PSC, NV, TILE_C)
+        scratch += PS_CHUNK * nv * TILE_C * 4
     e_sec_max = (budget - tiles_db - field_db - scratch) \
         // (2 * TILE_R * nv * 4)                 # E3 out + winvS_e3 rows
     if nw_width > e_sec_max:
