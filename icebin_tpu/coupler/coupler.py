@@ -79,6 +79,13 @@ class CouplerConfig:
     #: temperature -- extensive fields are f64-mass-repaired regardless);
     #: 6 = precision=HIGHEST (~1e-7 raw) for accuracy-critical runs.
     prods_passes: Optional[int] = None
+    #: Pallas field-batch width per kernel call (round 5): 16 lets the
+    #: 10-field harvest ride ONE EvI call (one tile stream instead of
+    #: two 8-wide ones) and the NV=16 A1 contraction doubles the MXU
+    #: sublane utilization -- measured ~1.9x per-field round-trip speed
+    #: at config #3 (tools/probe_nv.py).  The 8-field forcing pads to 16
+    #: (extra field bytes only; tiles dominate).
+    pallas_nv: int = 16
     #: True = stepwise ``couple`` books its ledger row WITHOUT a
     #: device->host sync (``Ledger.post_deferred``): JAX's async dispatch
     #: lets a GCM-in-the-loop stepwise run overlap the relay/PCIe latency
@@ -182,14 +189,16 @@ class IceSheetCoupler:
             M = self.rm.matrix(name, self.cfg.params)
             rev_name = "Iv" + name[0]
             if engine == "pallas":
-                fwd, rev = pallas_view_pair(M, small_axis="rows")
+                fwd, rev = pallas_view_pair(M, small_axis="rows",
+                                            nv=self.cfg.pallas_nv)
                 self._mats[name] = fwd
                 if share:
                     self._mats[rev_name] = rev
                 else:
                     Mr = self.rm.matrix(rev_name, self.cfg.params)
                     self._mats[rev_name] = pallas_view_pair(
-                        Mr, small_axis="cols")[0]
+                        Mr, small_axis="cols",
+                        nv=self.cfg.pallas_nv)[0]
             else:
                 bm = bdt_from_weighted(M, small_axis="rows",
                                        dtype=self.cfg.matrix_dtype)
@@ -223,7 +232,8 @@ class IceSheetCoupler:
             M = self.rm.matrix("AvE", _dc.replace(self.cfg.params,
                                                   sigma=None))
             if self._engine() == "pallas":
-                fwd, rev = pallas_view_pair(M, small_axis="rows")
+                fwd, rev = pallas_view_pair(M, small_axis="rows",
+                                            nv=self.cfg.pallas_nv)
                 self._mats["AvE"], self._mats["EvA"] = fwd, rev
             else:
                 bm = bdt_from_weighted(M, small_axis="rows",

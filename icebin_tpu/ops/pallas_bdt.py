@@ -114,6 +114,17 @@ E_SEC = 4096        # windows per E3 accumulator SECTION.  Each kernel call
                     # single-call r4 kernel.
 NWPAD_MAX = E_SEC   # back-compat alias (the pre-r5 hard gate; E spaces of
                     # any width now stay on the Pallas path)
+VMEM_LIMIT = 100 * 1024 * 1024
+                    # Mosaic scoped-VMEM budget for the fused kernels
+                    # (compiler_params.vmem_limit_bytes).  The DEFAULT
+                    # scoped limit is 16 MB, but the attached v5e runs
+                    # 96 MB of live kernel buffers (measured, round 5:
+                    # tools/probe_vmem sweep 48+48 MB OK / 64+64 fails)
+                    # -- every r2-r4 section-size tunable was boxed by the
+                    # artificial 16 MB ceiling.  Raising the limit lets
+                    # sections and field batches grow to their real
+                    # bandwidth-optimal sizes; ops.tuning can lower it per
+                    # device kind if a chip has less VMEM.
 SMALL_SLOTS = 1     # dest-small product-scratch parity slots; >1 breaks
                     # the per-pseudo scratch reuse chain (bit-exact).  A/B
                     # on the real config-#3 chain measured NO gain
@@ -131,17 +142,18 @@ def _interpret_default() -> bool:
 
 
 def _default_e_sec(nv: int) -> int:
-    """NV-aware E-section default: the E3 accumulator (+ winvS twin) costs
-    ``e_sec * TILE_R * nv * 4`` resident bytes, so the NV=8-budgeted E_SEC
-    shrinks proportionally for wider field batches (NV=64 -> 512)."""
-    return max(TILE_R, (E_SEC * 8 // max(nv, 8)) // TILE_R * TILE_R)
+    """NV-aware E-section default.  With the measured 96 MB VMEM headroom
+    (``VMEM_LIMIT``) the full E_SEC fits through NV=64 (E3 + winvS twin =
+    2 * e_sec * 8 * nv * 4 = 16 MB); beyond that it shrinks
+    proportionally."""
+    return max(TILE_R, (E_SEC * 64 // max(nv, 64)) // TILE_R * TILE_R)
 
 
 def _default_sec_blocks(nv: int) -> int:
     """NV-aware ice-section default: the field/accumulator section block
-    costs ``sec_blocks * nv * TILE_C * 4`` (double-buffered), so the
-    NV=8-budgeted SEC_BLOCKS shrinks proportionally (NV=64 -> 128)."""
-    return max(TILE_R, SEC_BLOCKS * 8 // max(nv, 8))
+    costs ``sec_blocks * nv * TILE_C * 4`` double-buffered -- 64 MB at
+    NV=64/SEC=1024, inside the measured VMEM; halves beyond NV=64."""
+    return max(TILE_R, SEC_BLOCKS * 64 // max(nv, 64))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -172,6 +184,16 @@ class PallasBDT:
     #: (bit0 = first chunk of its section: zero-init; bit1 = last: scale)
     sec_idx: jnp.ndarray      # (npspad // PS_CHUNK,) int32
     sec_flags: jnp.ndarray    # (npspad // PS_CHUNK,) int32
+    #: window-bucket COMPACTION maps (round 5), or None when every E
+    #: section of the logical bucket space holds realized windows.  A
+    #: sparse E space (config #3: realized Greenland windows fill ~1/4 of
+    #: the nA*nhc bucket space) otherwise streams, scans, and zero-concats
+    #: E3 rows that can never be nonzero; the pack relabels windows so
+    #: only PRESENT buckets exist and NWpad shrinks to the realized span.
+    w_fwd: Optional[jnp.ndarray]   # (nw_logical,) logical win -> compact
+                                   # win (or -1: dead bucket/row)
+    w_inv: Optional[jnp.ndarray]   # (NWpad,) compact win -> logical win
+                                   # (or -1: pad row)
     # static geometry
     ts: int                   # windows per pseudo-block
     W8: int
@@ -186,7 +208,10 @@ class PallasBDT:
     nice: int
     sec_blocks: int           # blocks per B2' accumulator section
     e_sec: int                # windows per E3 accumulator section
-    nesec: int                # E3 sections (1 = single fused call per dir)
+    nesec: int                # PRESENT E3 sections (1 = single fused call)
+    nw_logical: int           # windows of the LOGICAL small space
+                              # (= ceil(nsmall / 8); == NWpad span when
+                              # no compaction)
     #: per-E-section kernel-call groups, esec-major chunk ranges:
     #: (chunk0, chunk1, esec, ice_sec_lo, ice_sec_hi); E sections with no
     #: chunks are absent (their E3 rows are exact zeros)
@@ -194,10 +219,10 @@ class PallasBDT:
 
     _STATIC = ("ts", "W8", "NV", "nchunk", "nchunkpad", "npspad", "nblk",
                "nblkpad", "NWpad", "nsmall", "nice", "sec_blocks",
-               "e_sec", "nesec", "egroups")
+               "e_sec", "nesec", "nw_logical", "egroups")
     _ARRAYS = ("tiles2", "pseudo2blk", "w_off", "w_offT", "base",
                "winvS_e3", "winvI_blk", "wS", "wI", "ov_s", "ov_c", "ov_v",
-               "sec_idx", "sec_flags")
+               "sec_idx", "sec_flags", "w_fwd", "w_inv")
 
     def tree_flatten(self):
         return (tuple(getattr(self, n) for n in self._ARRAYS),
@@ -244,17 +269,32 @@ class PallasBDT:
         return fb.transpose(1, 0, 2).reshape(self.NV, -1)[:, :self.nice]
 
     def small_to_e3(self, f):
-        """(NV, nsmall) → (NWpad, 8*NV); non-finite → 0."""
+        """(NV, nsmall) → (NWpad, 8*NV); non-finite → 0.  With a
+        compacted bucket space the logical windows gather through
+        ``w_inv`` (dead rows → 0)."""
         f = jnp.where(jnp.isfinite(f), f, 0.0).astype(jnp.float32)
-        pad = self.NWpad * TILE_R - self.nsmall
-        f3 = jnp.pad(f, ((0, 0), (0, pad))).reshape(self.NV, self.NWpad,
-                                                    TILE_R)
-        return f3.transpose(1, 2, 0).reshape(self.NWpad, TILE_R * self.NV)
+        if self.w_fwd is None:
+            pad = self.NWpad * TILE_R - self.nsmall
+            f3 = jnp.pad(f, ((0, 0), (0, pad))).reshape(
+                self.NV, self.NWpad, TILE_R)
+            return f3.transpose(1, 2, 0).reshape(self.NWpad,
+                                                 TILE_R * self.NV)
+        pad = self.nw_logical * TILE_R - self.nsmall
+        f3 = jnp.pad(f, ((0, 0), (0, pad))).reshape(
+            self.NV, self.nw_logical, TILE_R)
+        g = jnp.take(f3, jnp.maximum(self.w_inv, 0), axis=1)
+        g = jnp.where((self.w_inv >= 0)[None, :, None], g, 0.0)
+        return g.transpose(1, 2, 0).reshape(self.NWpad, TILE_R * self.NV)
 
     def e3_to_small(self, e3):
-        """(NWpad, 8*NV) → (NV, nsmall)."""
+        """(NWpad, 8*NV) → (NV, nsmall) (compacted rows scatter back via
+        ``w_fwd``; dead logical windows are exact zeros)."""
         f3 = e3.reshape(self.NWpad, TILE_R, self.NV).transpose(2, 0, 1)
-        return f3.reshape(self.NV, -1)[:, :self.nsmall]
+        if self.w_fwd is None:
+            return f3.reshape(self.NV, -1)[:, :self.nsmall]
+        g = jnp.take(f3, jnp.maximum(self.w_fwd, 0), axis=1)
+        g = jnp.where((self.w_fwd >= 0)[None, :, None], g, 0.0)
+        return g.reshape(self.NV, -1)[:, :self.nsmall]
 
 
 # ---------------------------------------------------------------------------
@@ -292,13 +332,15 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS,
         c = bb * TILE_C + cc
         v = tiles[bb, tt, rr, cc].astype(np.float64)
     (tiles_ps, w_ps, realp, pseudo2blk, haspid, first, nblk, nblkpad,
-     npspad) = _pseudo_from_coo(s, c, v, nsmall, nice, ts, e_sec=e_sec)
+     npspad, esecp) = _pseudo_from_coo(s, c, v, nsmall, nice, ts,
+                                       e_sec=e_sec)
     return _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first,
                         np.asarray(bm.wS, np.float64),
                         np.asarray(bm.wI, np.float64),
                         nsmall, nice, nblk, nblkpad, nv, ts,
                         bm.ov_rows, bm.ov_cols, bm.ov_vals,
-                        sec_blocks=sec_blocks, e_sec=e_sec)
+                        sec_blocks=sec_blocks, e_sec=e_sec,
+                        esec_present=esecp)
 
 
 def _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=None):
@@ -321,7 +363,15 @@ def _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=None):
     nblk = max(1, -(-nice // TILE_C))
     blk = i // TILE_C
     win = s // TILE_R
-    nw_tot = nsmall // TILE_R + 2
+    # bucket compaction (round 5): relabel windows so only the E-section
+    # buckets with realized windows exist -- slot k of the sorted present
+    # list owns compact windows [k*e_sec, (k+1)*e_sec).  Identity when
+    # every bucket is present (mesh shards pass a whole-space e_sec), so
+    # legacy packs are bit-identical.
+    esec_present = np.unique(win // e_sec)
+    win = (np.searchsorted(esec_present, win // e_sec) * e_sec
+           + win % e_sec)
+    nw_tot = len(esec_present) * e_sec + 2
     key = blk * nw_tot + win
     uk, inv = np.unique(key, return_inverse=True)     # sorted (blk, win)
     ub = (uk // nw_tot).astype(np.int64)              # block of each window
@@ -366,13 +416,13 @@ def _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=None):
     haspid[wpid] = True
     pseudo2blk[~haspid] = nblkpad - 1
     return (tiles_ps, w_ps, realp, pseudo2blk, haspid, first, nblk, nblkpad,
-            npspad)
+            npspad, esec_present)
 
 
 def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
                  nsmall, nice, nblk, nblkpad, nv, ts,
                  ov_rows, ov_cols, ov_vals, sec_blocks=None,
-                 e_sec=None) -> PallasBDT:
+                 e_sec=None, esec_present=None) -> PallasBDT:
     """Shared packing tail: order pseudo-blocks E-SECTION-major, then
     ICE-SECTION-major, then WINDOW-sorted; chunk; band-cap; demote
     out-of-band tiles to COO; build weight layouts.
@@ -418,7 +468,13 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     nsec = max(1, -(-nblkpad // sec_blocks))
     nblkpad = nsec * sec_blocks
     NW = -(-nsmall // TILE_R)
-    nesec = max(1, -(-NW // e_sec))
+    nesec_log = max(1, -(-NW // e_sec))
+    if esec_present is None:
+        esec_present = np.arange(nesec_log)
+    # compaction active when some logical buckets hold no realized
+    # windows (the packer relabeled windows onto the PRESENT buckets)
+    compacted = len(esec_present) < nesec_log
+    nesec = len(esec_present) if compacted else nesec_log
     sec_of = pseudo2blk[ridx] // sec_blocks
     esec_of = first[ridx] // e_sec
     order = np.lexsort((first[ridx], sec_of, esec_of))
@@ -550,16 +606,42 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     ov_c = np.concatenate(ov_c + ex_c) if (ov_c or ex_c) else None
     ov_v = np.concatenate(ov_v + ex_v) if (ov_v or ex_v) else None
 
-    if nesec > 1:
+    if nesec > 1 or compacted:
         NWpad = nesec * e_sec        # whole sections: per-esec out blocks
+        # (compacted single-bucket packs keep the full e_sec row count:
+        # a sub-section odd row count measured a Mosaic stack-VMEM
+        # regression -- 3864 rows OOM'd where 4096 compiled)
     else:
         NWpad = max(NW, int(base8.max(initial=0)) + W8)
         NWpad = -(-NWpad // TILE_R) * TILE_R
 
     winvS = np.where(wS != 0, 1.0 / np.where(wS != 0, wS, 1.0), 0.0)
     winvI = np.where(wI != 0, 1.0 / np.where(wI != 0, wI, 1.0), 0.0)
-    wvs = np.zeros(NWpad * TILE_R)
-    wvs[:nsmall] = winvS
+    if compacted:
+        npres = len(esec_present)
+        w_fwd = np.full(NW, -1, np.int64)
+        lw = np.arange(NW)
+        lb = lw // e_sec
+        sl = np.searchsorted(esec_present, lb)
+        ok = ((sl < npres)
+              & (esec_present[np.minimum(sl, npres - 1)] == lb))
+        mapped = sl * e_sec + lw % e_sec
+        ok &= mapped < NWpad
+        w_fwd[ok] = mapped[ok]
+        w_inv = np.full(NWpad, -1, np.int64)
+        rw = np.arange(NWpad)
+        orig = esec_present[rw // e_sec] * e_sec + rw % e_sec
+        vv = orig < NW
+        w_inv[vv] = orig[vv]
+        wvs = np.zeros(NWpad * TILE_R)
+        sidx = np.arange(nsmall)
+        wf = w_fwd[sidx // TILE_R]
+        oks = wf >= 0
+        wvs[wf[oks] * TILE_R + sidx[oks] % TILE_R] = winvS[oks]
+    else:
+        w_fwd = w_inv = None
+        wvs = np.zeros(NWpad * TILE_R)
+        wvs[:nsmall] = winvS
     winvS_e3 = np.repeat(wvs.reshape(NWpad, TILE_R), NV,
                          axis=1).astype(np.float32)
     wvi = np.zeros(nblkpad * TILE_C)
@@ -592,10 +674,14 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
         ov_v=None if ov_v is None else jnp.asarray(ov_v, jnp.float32),
         sec_idx=jnp.asarray(step_sec),
         sec_flags=jnp.asarray(sec_flags),
+        w_fwd=None if w_fwd is None else jnp.asarray(
+            w_fwd.astype(np.int32)),
+        w_inv=None if w_inv is None else jnp.asarray(
+            w_inv.astype(np.int32)),
         ts=ts, W8=W8, NV=NV, nchunk=nchunk, nchunkpad=nchunkpad,
         npspad=npspad, nblk=nblk, nblkpad=nblkpad, NWpad=NWpad,
         nsmall=int(nsmall), nice=int(nice), sec_blocks=sec_blocks,
-        e_sec=int(e_sec), nesec=int(nesec),
+        e_sec=int(e_sec), nesec=int(nesec), nw_logical=int(NW),
         egroups=tuple((int(a), int(b), int(e), int(lo), int(hi))
                       for (a, b, e, lo, hi) in egroups))
 
@@ -653,13 +739,14 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
         i = np.zeros(1, np.int64)
         v = np.zeros(1, np.float64)
     (tiles_ps, w_ps, realp, pseudo2blk, haspid, first, nblk, nblkpad,
-     npspad) = _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=e_sec)
+     npspad, esecp) = _pseudo_from_coo(s, i, v, nsmall, nice, ts,
+                                       e_sec=e_sec)
     return _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first,
                         np.asarray(wS, np.float64),
                         np.asarray(wI, np.float64),
                         nsmall, nice, nblk, nblkpad, nv, ts,
                         None, None, None, sec_blocks=sec_blocks,
-                        e_sec=e_sec)
+                        e_sec=e_sec, esec_present=esecp)
 
 
 # ---------------------------------------------------------------------------
@@ -908,6 +995,8 @@ def _mk_fused_small(pm: PallasBDT, interpret: bool, scale: bool = False,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows, TILE_R * NV), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=(2 * nstep * PSC * TILE_R * ts * TILE_C * NV
                    + 2 * nstep * W8 * C2 * TILE_R * NV),
@@ -959,6 +1048,8 @@ def _mk_fused_ice(pm: PallasBDT, interpret: bool, scale: bool = False,
         out_shape=jax.ShapeDtypeStruct(((hi - lo) * SEC, NV, TILE_C),
                                        jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=(2 * nstep * PSC * TILE_R * ts * TILE_C * NV
                    + 2 * nstep * W8 * C2 * TILE_R * NV),
@@ -972,9 +1063,13 @@ def _mk_fused_ice(pm: PallasBDT, interpret: bool, scale: bool = False,
 # ---------------------------------------------------------------------------
 
 def _ov_e3_ids(pm: PallasBDT):
-    """Flat E3 ids (NV, nov) of the overflow small rows."""
-    fbase = ((pm.ov_s // TILE_R) * (TILE_R * pm.NV)
-             + (pm.ov_s % TILE_R) * pm.NV)
+    """Flat E3 ids (NV, nov) of the overflow small rows (compacted
+    window space: through ``w_fwd``; overflow rows are realized, so
+    their buckets are always present)."""
+    w = pm.ov_s // TILE_R
+    if pm.w_fwd is not None:
+        w = jnp.take(pm.w_fwd, w)
+    fbase = w * (TILE_R * pm.NV) + (pm.ov_s % TILE_R) * pm.NV
     return fbase[None, :] + jnp.arange(pm.NV, dtype=jnp.int32)[:, None]
 
 
@@ -1006,17 +1101,13 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
                 pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2, fb,
                 pm.w_off, pm.winvS_e3)
         else:
-            gmap = {g[2]: g for g in pm.egroups}
-            parts = []
-            for e in range(pm.nesec):
-                if e in gmap:
-                    parts.append(_mk_fused_small(
-                        pm, interpret, in_scale, passes, gmap[e])(
-                        pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2, fb,
-                        pm.w_off, pm.winvS_e3))
-                else:           # E section with no matrix entries
-                    parts.append(jnp.zeros((pm.e_sec, TILE_R * pm.NV),
-                                           jnp.float32))
+            # bucket compaction (round 5) guarantees every section slot
+            # has a group, in slot order
+            assert tuple(g[2] for g in pm.egroups) == tuple(
+                range(pm.nesec))
+            parts = [_mk_fused_small(pm, interpret, in_scale, passes, g)(
+                pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2, fb,
+                pm.w_off, pm.winvS_e3) for g in pm.egroups]
             acc = jnp.concatenate(parts, axis=0)
     if in_scale:
         return acc
@@ -1041,36 +1132,18 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
     # the fused kernel folds in the pseudo→true segment-sum and (overflow-
     # free) the weight scale; with overflow the scale waits for the COO
     # add, and with MULTIPLE E-section groups it waits for the cross-group
-    # partial sum (an ice section can receive mass from several E sections).
-    # ONE group — the common case, incl. every E space whose realized
-    # windows sit in a single section of a wider bucket space (config #3
-    # since r5) — needs NO cross-group sum: its scaled partial IS the
-    # output over [lo, hi), zero elsewhere.  The r5 zeros+at.add epilogue
-    # here cost ~34 us/rt at config #3 (an XLA copy of the full blocked
-    # field + an unfused winv multiply — tools/probe_trace.py).
-    one_group = pm.nesec == 1 or len(pm.egroups) == 1
-    in_scale = scale and pm.ov_s is None and one_group
+    # partial sum (an ice section can receive mass from several E
+    # sections).  Bucket compaction (round 5) makes ONE section the
+    # common case for every real sheet config -- sparse E spaces that
+    # formerly took the r4 "one-group fast path" now pack as genuinely
+    # single-section (zeros for dead rows come from the w_fwd/w_inv maps,
+    # not a zeros-concat epilogue).
+    in_scale = scale and pm.ov_s is None and pm.nesec == 1
     with jax.enable_x64(False):   # Mosaic rejects x64 grid indices
         if pm.nesec == 1:
             out = _mk_fused_ice(pm, interpret, in_scale)(
                 pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
                 e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
-        elif one_group:
-            SEC = pm.sec_blocks
-            g = pm.egroups[0]
-            part = _mk_fused_ice(pm, interpret, in_scale, g)(
-                pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
-                e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
-            _c0, _c1, _e, lo, hi = g
-            parts = []
-            if lo > 0:
-                parts.append(jnp.zeros((lo * SEC, pm.NV, TILE_C),
-                                       jnp.float32))
-            parts.append(part)
-            if hi * SEC < pm.nblkpad:
-                parts.append(jnp.zeros((pm.nblkpad - hi * SEC, pm.NV,
-                                        TILE_C), jnp.float32))
-            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         else:
             SEC = pm.sec_blocks
             out = jnp.zeros((pm.nblkpad, pm.NV, TILE_C), jnp.float32)

@@ -48,16 +48,28 @@ from typing import Dict
 
 __all__ = ["tunables_for", "apply_tunables"]
 
+_VM100 = 100 * 1024 * 1024
 _TABLE: Dict[str, dict] = {
-    "default": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
-    # measured (tools/autotune.py, 2026-08, single chip via axon)
-    "v5lite": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
-    "v5e": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
-    # start points pending a real-chip sweep
-    "v5p": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
-    "v4": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
-    "v6e": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
-    "v6": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048),
+    "default": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048,
+                    vmem_limit=_VM100),
+    # measured (tools/autotune.py + probe_nv/probe_chunk, 2026-08, single
+    # chip via axon; vmem_limit: 96 MB of live kernel buffers measured OK
+    # on the attached v5e -- the 16 MB scoped default was the r2-r4
+    # bottleneck)
+    "v5lite": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048,
+                   vmem_limit=_VM100),
+    "v5e": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048,
+                vmem_limit=_VM100),
+    # start points pending a real-chip sweep (v4's physical VMEM is the
+    # 32 MB class: cap its scoped budget well below the v5e value)
+    "v5p": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048,
+                vmem_limit=_VM100),
+    "v4": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048,
+               vmem_limit=28 * 1024 * 1024),
+    "v6e": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048,
+                vmem_limit=_VM100),
+    "v6": dict(ps_chunk=128, sec_blocks=1024, w8_cap=2048,
+               vmem_limit=_VM100),
 }
 
 
@@ -89,4 +101,5 @@ def apply_tunables(device_kind: str = None) -> dict:
     pb.PS_CHUNK = t["ps_chunk"]
     pb.SEC_BLOCKS = t["sec_blocks"]
     pb.W8_CAP = t["w8_cap"]
+    pb.VMEM_LIMIT = t.get("vmem_limit", pb.VMEM_LIMIT)
     return t

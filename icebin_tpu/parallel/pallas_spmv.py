@@ -175,7 +175,8 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     nw_width = -(-NW // TILE_R) * TILE_R
     e_sec = max(E_SEC, nw_width)
     sec_cap = min(SEC_BLOCKS, -(-bpd // 8) * 8)
-    budget = 15 * 2**20                          # 16 MB scoped VMEM, margin
+    from icebin_tpu.ops.pallas_bdt import VMEM_LIMIT
+    budget = VMEM_LIMIT - 2**20                  # scoped VMEM, margin
     tiles_db = 2 * PS_CHUNK * (ts or TS) * TILE_R * TILE_C * 4
     field_db = 2 * sec_cap * nv * TILE_C * 4
     from icebin_tpu.ops.pallas_bdt import ICE_BATCHED
@@ -289,6 +290,7 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
                 stacks[name].append(None)
 
     assert all(p.nesec == 1 for p in shards)     # e_sec covers NW above
+    assert all(p.w_fwd is None for p in shards)  # no bucket compaction
     template = dataclasses.replace(
         shards[0],
         **{name: None for name in PallasBDT._ARRAYS},
@@ -301,7 +303,7 @@ def sharded_pallas_from_weighted(mesh, M: WeightedMatrix,
     sh = NamedSharding(mesh, P(ICE_AXIS))
     stacked = {}
     for name, parts in stacks.items():
-        if parts and parts[0] is None:
+        if not parts or parts[0] is None:
             stacked[name] = None
         else:
             # make_array_from_callback materializes only the shards THIS

@@ -131,8 +131,11 @@ def test_empty_esec_rows_are_zero():
                        vals=np.bincount(inv, weights=np.ones(1600)),
                        shape=(nsmall, nice))
     pm = pallas_from_weighted(M, small_axis="rows", e_sec=64)
-    assert pm.nesec == 6
-    assert sorted(g[2] for g in pm.egroups) == [0, 4]
+    # round 5: the two PRESENT buckets (logical sections 0 and 4) COMPACT
+    # onto slots 0 and 1 (w_fwd/w_inv maps); dead sections don't exist in
+    # the pack at all, so their rows are zeros by construction
+    assert pm.nesec == 2 and pm.w_fwd is not None
+    assert sorted(g[2] for g in pm.egroups) == [0, 1]
     f = rng.uniform(0.5, 1.5, (2, nice)).astype(np.float32)
     out = np.asarray(apply_small(pm, f, scale=False))
     assert np.all(out[:, 512:2048] == 0.0)
@@ -154,7 +157,8 @@ def test_band_clamp_near_section_end():
                        vals=np.bincount(inv, weights=np.ones(500)),
                        shape=(nsmall, nice))
     pm = pallas_from_weighted(M, small_axis="rows", e_sec=64)
-    assert pm.nesec == 2
+    # round 5: only logical section 0 is present -> compacted single call
+    assert pm.nesec == 1 and pm.w_fwd is not None
     b = np.asarray(pm.base)[:pm.nchunk]
     assert int(b.max()) + pm.W8 <= 64              # clamped inside section
     _check_both(pm, M, rng)
@@ -247,8 +251,11 @@ def test_one_group_fast_path_config3_shape():
                        vals=np.bincount(inv, weights=np.ones(n)),
                        shape=(nsmall, nice))
     pm = pallas_from_weighted(M, small_axis="rows", e_sec=64, sec_blocks=4)
-    assert pm.nesec == 4
-    assert len(pm.egroups) == 1 and pm.egroups[0][2] == 2
+    # round 5: the single present bucket (logical section 2) COMPACTS to
+    # slot 0 -- the one-group fast path became a genuinely single-section
+    # pack; zeros outside the section come from the e3<->small maps
+    assert pm.nesec == 1 and pm.w_fwd is not None
+    assert len(pm.egroups) == 1 and pm.egroups[0][2] == 0
     _check_both(pm, M, rng)
     # dest-small: rows outside the group's section are exact zeros
     f = rng.uniform(0.5, 1.5, (2, nice)).astype(np.float32)
@@ -258,24 +265,32 @@ def test_one_group_fast_path_config3_shape():
 
 
 def test_one_group_partial_ice_coverage():
-    """One-group fast path where the group covers only the UPPER ice
-    section (lo > 0): the uncovered ice blocks come back as exact zeros
-    through the concat, and values match the dense reference."""
+    """Per-group partial ice coverage (lo > 0): two present buckets whose
+    groups each touch only ONE ice section; the untouched ice blocks come
+    back as exact zeros through the cross-group partial sum, and values
+    match the dense reference."""
     rng = np.random.default_rng(8)
     nsmall, nice = 2048, 1024
     n = 900
-    rows = rng.integers(1024, 1536, n).astype(np.int64)   # esec 2 only
-    cols = rng.integers(512, 1024, n).astype(np.int64)    # isec 1 only
+    # bucket 1 -> isec 0; bucket 3 -> isec 1 (two present buckets)
+    rows = np.concatenate([rng.integers(512, 1024, n),
+                           rng.integers(1536, 2048, n)]).astype(np.int64)
+    cols = np.concatenate([rng.integers(0, 512, n),
+                           rng.integers(512, 1024, n)]).astype(np.int64)
     key = rows * nice + cols
     uk, inv = np.unique(key, return_inverse=True)
     M = WeightedMatrix(rows=(uk // nice), cols=(uk % nice),
-                       vals=np.bincount(inv, weights=np.ones(n)),
+                       vals=np.bincount(inv, weights=np.ones(2 * n)),
                        shape=(nsmall, nice))
     pm = pallas_from_weighted(M, small_axis="rows", e_sec=64, sec_blocks=4)
-    assert pm.nesec == 4 and len(pm.egroups) == 1
-    _c0, _c1, e, lo, hi = pm.egroups[0]
-    assert e == 2 and lo == 1
+    assert pm.nesec == 2 and len(pm.egroups) == 2
+    (_, _, e0, lo0, hi0), (_, _, e1, lo1, hi1) = pm.egroups
+    assert (e0, e1) == (0, 1)
+    assert lo0 == 0 and hi0 == 1 and lo1 == 1 and hi1 == 2
     _check_both(pm, M, rng)
-    g = rng.uniform(0.5, 1.5, (2, nsmall)).astype(np.float32)
+    # a field alive ONLY in bucket 3's rows reaches ONLY isec 1 cells
+    g = np.zeros((2, nsmall), np.float32)
+    g[:, 1536:] = rng.uniform(0.5, 1.5, (2, 512)).astype(np.float32)
     outi = np.asarray(apply_ice(pm, g, scale=False))
     assert np.all(outi[:, :512] == 0.0)
+    assert np.any(outi[:, 512:] != 0.0)

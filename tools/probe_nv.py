@@ -44,8 +44,8 @@ def main():
     Me = rm.matrix("EvI", RegridParams(scale=True, correctA=True))
 
     # (nv, sec_blocks, e_sec): None = NV-aware default
-    cfgs = [(16, 448, 2048), (16, 512, 2048),
-            (32, 128, 2048), (32, 192, 2048), (32, 256, 2048)]
+    cfgs = [(8, None, None), (16, None, None), (32, None, None),
+            (64, None, None), (32, 1024, 2048), (64, 1024, 2048)]
     if len(sys.argv) > 1:
         cfgs = [c for c in cfgs if c[0] in {int(a) for a in sys.argv[1:]}]
     rng = np.random.default_rng(0)
