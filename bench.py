@@ -1,7 +1,8 @@
 """Driver benchmark: ONE JSON line with the flagship SpMM throughput.
 
-Measures the fused Pallas BDT regrid apply (EvI o IvE round trips, 8
-fields, f32; icebin_tpu.ops.pallas_bdt) on the REAL SeaRISE Greenland 5 km
+Measures the fused Pallas BDT regrid apply (EvI o IvE round trips, NVAR
+fields per kernel call, f32; icebin_tpu.ops.pallas_bdt) on the REAL
+SeaRISE Greenland 5 km
 x ModelE 2x2.5 matrix set with 5 elevation classes (BASELINE.json config
 #3 -- the north star's named end-to-end target), exchange grid built by
 the default engine (Pallas clip kernel on TPU), on the real TPU chip.
@@ -53,7 +54,13 @@ N1, N2 = 64, 576        # two-point chain lengths (latency cancels).
 N1_BIG, N2_BIG = 8, 56  # ...for the Antarctica-scale sheet (its round trip
                         # is ~10x longer; chain wall time stays ~100 ms)
 N_TIMING_REPS = 8       # interleaved; min filters relay-latency spikes
-NVAR = 8
+NVAR = 16               # fields per fused kernel call (round 5: NV=16
+                        # doubles the A1 contraction's MXU sublane
+                        # utilization and amortizes the tile stream over
+                        # two 8-field groups -- the r2-r4 per-8-field
+                        # round trip is reported as rt_us for cross-round
+                        # comparability, the raw 16-field trip as
+                        # rt_us_total)
 
 ROOFS_GBPS = {  # nominal HBM bandwidth per chip
     "v5lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0,
@@ -219,7 +226,9 @@ def main():
         per_rt = max((t2 - t1) / (n2 - n1), 1e-9)
         lat = t1 - n1 * per_rt               # implied sync latency (report)
         per_sheet[name] = {"gbps": pm.stream_bytes / per_rt / 1e9,
-                           "rt_us": 1e6 * per_rt, "lat_ms": 1e3 * lat}
+                           "rt_us": 1e6 * per_rt * 8 / NVAR,
+                           "rt_us_total": 1e6 * per_rt,
+                           "lat_ms": 1e3 * lat}
 
     gbps = per_sheet["greenland"]["gbps"]
     roof = nominal_roof()
@@ -240,7 +249,11 @@ def main():
         "vs_baseline_practical_roof": round(gbps / (0.70 * roof_p), 4),
         "roof_nominal_GBps": roof,
         "roof_practical_GBps": roof_p,
+        # rt_us = per-8-FIELD-GROUP round trip (the r2-r4 unit; the
+        # NVAR-field kernel trip is rt_us_total = rt_us * NVAR/8)
         "rt_us": round(per_sheet["greenland"]["rt_us"], 1),
+        "rt_us_total": round(per_sheet["greenland"]["rt_us_total"], 1),
+        "bench_nv": NVAR,
         # bytes ONE round trip streams under the current kernel design --
         # the denominator context for cross-round GB/s comparisons (each
         # fusion round shrinks it for the same logical work; see header)
@@ -248,6 +261,8 @@ def main():
         "sync_latency_ms": round(per_sheet["greenland"]["lat_ms"], 2),
         "antarctica_GBps": round(per_sheet["antarctica"]["gbps"], 2),
         "antarctica_rt_us": round(per_sheet["antarctica"]["rt_us"], 1),
+        "antarctica_rt_us_total": round(
+            per_sheet["antarctica"]["rt_us_total"], 1),
         "antarctica_vs_greenland": round(
             per_sheet["antarctica"]["gbps"] / gbps, 4),
         "build_pairs_per_s": round(build_stats["pairs"]
@@ -266,6 +281,11 @@ def bench_coupler():
     steps/s of the PRODUCTION coupler (IvE+repair -> SIA -> EvI/AvI ->
     batched ledger pull) and the matrix-regeneration wall time -- the two
     runtime numbers the SpMM GB/s headline does not capture."""
+    # NOTE books precision: this section times the x64-OFF loop (f32
+    # account books, r2-r4 comparable).  bench_multisheet -- which runs
+    # AFTER this -- flips global x64 on for the gated production mode
+    # (f64 repair/ledger; hot arrays stay f32; measured ~20% steps/s
+    # cost); its *_steps_per_s keys are the x64 numbers.
     import jax.numpy as jnp
     from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler
     from icebin_tpu.grid.spec import GridSpecXY, modele_lonlat_grid
@@ -361,6 +381,8 @@ def bench_multisheet():
     timed, per-sheet and combined steps/s, with the per-step transport
     identity (mass_in_E == mass_delivered_I after the f64 repair, < 1e-10)
     as the conservation gate."""
+    import jax
+    jax.config.update("jax_enable_x64", True)   # see bench_coupler
     import jax.numpy as jnp
     from icebin_tpu.coupler.coupler import CouplerConfig, GCMCoupler
     from icebin_tpu.grid.spec import GridSpecXY, modele_lonlat_grid
@@ -390,11 +412,16 @@ def bench_multisheet():
     fE = jnp.asarray(f)
     forc = {"greenland": fE, "antarctica": fE}
 
-    def run_loop(n, which):
+    # per-sheet timing: sub-couplers SHARING the sheet objects (no extra
+    # matrix builds; same jitted cores), then the combined coupler
+    sub = {name: GCMCoupler(gr, cfg, sheets={name: cp.sheets[name]})
+           for name in ("greenland", "antarctica")}
+
+    def run_loop(n, c, names):
         t0 = time.perf_counter()
         for _ in range(n):
-            cp.couple({k: forc[k] for k in which})
-        cp.ledger.flush()
+            c.couple({k: forc[k] for k in names})
+        c.ledger.flush()
         return time.perf_counter() - t0
 
     n1, n2 = 16, 48
@@ -403,15 +430,16 @@ def bench_multisheet():
     cp.ledger.flush()
 
     out = {}
-    for which, key in ((("greenland",), "multisheet_gl_steps_per_s"),
-                       (("antarctica",), "multisheet_ant_steps_per_s"),
-                       (("greenland", "antarctica"),
-                        "multisheet_steps_per_s")):
-        run_loop(n1, which)                  # warm this shape
+    for c, names, key in (
+            (sub["greenland"], ("greenland",), "multisheet_gl_steps_per_s"),
+            (sub["antarctica"], ("antarctica",),
+             "multisheet_ant_steps_per_s"),
+            (cp, ("greenland", "antarctica"), "multisheet_steps_per_s")):
+        run_loop(n1, c, names)               # warm this shape
         t1s, t2s = [], []
         for _ in range(3):
-            t1s.append(run_loop(n1, which))
-            t2s.append(run_loop(n2, which))
+            t1s.append(run_loop(n1, c, names))
+            t2s.append(run_loop(n2, c, names))
         per = max((min(t2s) - min(t1s)) / (n2 - n1), 1e-9)
         out[key] = round(1.0 / per, 2)
 

@@ -43,14 +43,19 @@ def load_checkpoint(path: str, coupler) -> None:
     coupler.time = float(z["time"])
     rows = json.loads(bytes(z["ledger"].tobytes()).decode())
     coupler.ledger = Ledger(steps=rows)
+    from icebin_tpu.models.ice_sheet import default_enthalpy
     for name, sc in coupler.sheets.items():
+        H = jnp.asarray(z[f"{name}.H"])
         sc.state = IceSheetState(
-            H=jnp.asarray(z[f"{name}.H"]),
+            H=H,
             bed=jnp.asarray(z[f"{name}.bed"]),
             t=jnp.asarray(z[f"{name}.t"]),
-            # pre-r4 checkpoints carry no energy column: default cold state
+            # pre-r4 checkpoints carry no energy column: default cold
+            # state at the SHEET's configured t_init (not the dataclass
+            # default -- advisor r4)
             enth=jnp.asarray(z[f"{name}.enth"])
-            if f"{name}.enth" in z else None)
+            if f"{name}.enth" in z
+            else default_enthalpy(H, sc.ice_cfg.t_init))
         sc.place_state()          # mesh couplers re-shard over the ice axis
         sc.regen_matrices(elevmask=z[f"{name}.regen_elevmask"])
         sc.steps_since_regen = int(z[f"{name}.steps_since_regen"])

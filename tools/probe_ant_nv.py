@@ -1,0 +1,158 @@
+"""Antarctica-5km NV/section sweep + stream floor (VERDICT r4 next #2:
+its rt has been flat two rounds and its gap was never attributed).
+
+Sweeps (nv, sec_blocks) on the REAL Antarctica EvI/IvE pack with the
+round-5 unlocked VMEM budget, and times a STREAM-ONLY floor variant of
+the same block pattern (fetches only) so the unhidden-compute share is a
+measured number, not a guess.  Run: python tools/probe_ant_nv.py
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+N1, N2 = 8, 56
+
+
+def build_weighted():
+    from icebin_tpu.grid.exchange import make_exchange_grid
+    from icebin_tpu.grid.spec import Grid, GridSpecXY, modele_lonlat_grid
+    from icebin_tpu.regrid.gcmregridder import GCMRegridder
+    from icebin_tpu.regrid.matrices import RegridParams
+    EPSG3031 = "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +ellps=WGS84"
+    specA = modele_lonlat_grid(144, 90)
+    R = 2800e3
+    n = int(2 * R / 5e3)
+    specI = GridSpecXY(xb=np.linspace(-R, R, n + 1),
+                       yb=np.linspace(-R, R, n + 1), projection=EPSG3031)
+    gr = GCMRegridder(specA, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3500.0])
+    t0 = time.perf_counter()
+    gr.add_sheet("ant", specI, subdiv=2)
+    print(f"exchange build {time.perf_counter()-t0:.1f}s", flush=True)
+    c = specI.cell_centers()
+    ex = (np.ptp(specI.xb) / 2.2, np.ptp(specI.yb) / 2.2)
+    r2 = (((c[:, 0] - specI.xb.mean()) / ex[0]) ** 2
+          + (((c[:, 1] - specI.yb.mean()) / ex[1]) ** 2))
+    elev = np.where(r2 < 1.0, 3500.0 * (1.0 - r2), np.nan)
+    rm = gr.regrid_matrices("ant", elev)
+    from icebin_tpu.regrid.matrices import RegridParams as RP
+    return rm.matrix("EvI", RP(scale=True, correctA=True))
+
+
+def timeit(mk, reps=6):
+    c1, c2 = mk(N1), mk(N2)
+    float(c1()); float(c2())
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter(); float(c1())
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(c2())
+        t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / (N2 - N1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from icebin_tpu.ops import pallas_bdt as pb
+
+    Me = build_weighted()
+    rng = np.random.default_rng(0)
+
+    cfgs = [(8, 1024), (8, 2048), (8, 4096),
+            (16, 1024), (16, 2048), (16, 4096)]
+    best = None
+    for nv, sec in cfgs:
+        try:
+            pm = pb.pallas_from_weighted(Me, small_axis="rows", nv=nv,
+                                         sec_blocks=sec)
+            f = rng.uniform(0.5, 1.5, (nv, Me.shape[1]))
+            fb = pm.ice_to_blocked(jnp.asarray(f, jnp.float32))
+            e3 = pb.apply_small_blocked(pm, fb, scale=True)
+            pb.apply_ice_blocked(pm, e3, scale=True).block_until_ready()
+
+            def mk(n, _pm=pm, _e3=e3):
+                @jax.jit
+                def chain():
+                    def body(c, _):
+                        fI = pb.apply_ice_blocked(_pm, c, scale=True)
+                        return pb.apply_small_blocked(_pm, fI,
+                                                      scale=True), ()
+                    c, _ = jax.lax.scan(body, _e3, None, length=n)
+                    return c.sum()
+                return chain
+
+            per = timeit(mk)
+            print(f"nv={nv} sec={sec}: npspad={pm.npspad} "
+                  f"nchunk={pm.nchunk} W8={pm.W8} NWpad={pm.NWpad} "
+                  f"nblkpad={pm.nblkpad} nsec={pm.nblkpad//pm.sec_blocks} "
+                  f"rt={1e6*per:8.1f} us  per-8={1e6*per*8/nv:7.1f} us  "
+                  f"({pm.stream_bytes/per/1e9:.0f} GB/s, "
+                  f"{pm.stream_bytes/1e6:.0f} MB)", flush=True)
+            if best is None or per * 8 / nv < best[0]:
+                best = (per * 8 / nv, nv, sec, pm, e3)
+        except Exception as e:
+            print(f"nv={nv} sec={sec}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+    # stream-only floor of the BEST config's exact block pattern
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from icebin_tpu.ops.bdt import TILE_C, TILE_R
+    _, nv, sec, pm, e3 = best
+    PSC, ts, NV = pb.PS_CHUNK, pm.ts, pm.NV
+    rows = pm.e_sec if pm.nesec > 1 else pm.NWpad
+    fb = pm.ice_to_blocked(jnp.asarray(
+        rng.uniform(0.5, 1.5, (nv, pm.nice)), jnp.float32))
+
+    def sk(tiles_ref, f_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+        v = (jnp.sum(tiles_ref[0, 0:1, :], axis=1, keepdims=True)
+             + jnp.sum(f_ref[0, 0:1, :], axis=1, keepdims=True))
+        out_ref[0:1, 0:1] += v
+
+    nstep = pm.nchunk
+    ks = pl.pallas_call(
+        sk, grid=(nstep,),
+        in_specs=[
+            pl.BlockSpec((PSC, TILE_R * ts, TILE_C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pm.sec_blocks, NV, TILE_C),
+                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, TILE_R * NV), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, TILE_R * NV), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=pb.VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pm.tiles2.size, bytes_accessed=pm.tiles2.size * 4,
+            transcendentals=0))
+
+    def mkf(n):
+        @jax.jit
+        def chain():
+            def body(c, _):
+                c2 = c.at[0, 0, 0].add(1e-30)
+                with jax.enable_x64(False):
+                    o = ks(pm.tiles2, c2)
+                return c2, o[0, 0]
+            c, os_ = jax.lax.scan(body, fb, None, length=n)
+            return c[0, 0, 0] + os_.sum()
+        return chain
+
+    per_f = timeit(mkf)
+    # the floor fetches tiles once + field section; a full round trip
+    # fetches tiles TWICE (one per direction) -- double for comparison
+    print(f"stream floor (tiles once): {1e6*per_f:8.1f} us "
+          f"-> x2 directions ~ {2e6*per_f:8.1f} us vs best rt "
+          f"{1e6*best[0]*nv/8:8.1f} us (nv={nv} sec={sec})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
