@@ -102,8 +102,11 @@ def main():
         cands = [tuple(int(x) for x in c.split(":"))
                  for c in args.configs.split(",")]
     else:
+        # round 5: the VMEM unlock makes full sections affordable, so the
+        # grid centers on large sec_blocks; ps_chunk stays the dominant
+        # knob (W8 band width scales with it)
         cands = [(psc, sec) for psc in (64, 128, 256)
-                 for sec in (512, 1024, 2048)]
+                 for sec in (1024, 2048, 4096)]
 
     results = {}
     for (psc, sec) in cands:
@@ -142,7 +145,12 @@ def main():
     key = kind.lower().replace(" ", "").replace("tpu", "")
     print("\n# paste into icebin_tpu/ops/tuning.py _TABLE:")
     print(json.dumps({key: dict(ps_chunk=psc, sec_blocks=sec,
-                                w8_cap=2048)}))
+                                w8_cap=2048,
+                                vmem_limit=int(pb.VMEM_LIMIT))}))
+    print("# NOTE: vmem_limit above is the CURRENT module value; run "
+          "tools/probe_vmem-style buffer doubling (see ops/pallas_bdt "
+          "VMEM_LIMIT docstring) to measure the chip's real headroom "
+          "before raising it on a new device kind")
 
 
 if __name__ == "__main__":

@@ -80,8 +80,15 @@ def main():
         yb=np.linspace(-3350e3, -630e3, 545),
         projection="+proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 "
                    "+ellps=WGS84")
+    # OFFLINE host tool: prefer the native C++ clip engine (0.9 s for
+    # this build, deterministic) over the TPU path -- the r4 run's 824 s
+    # "hot spot" was relay weather on the device engine, not the build
+    # (the same build benches at ~1.4 s warm on TPU; tools logs r5)
+    from icebin_tpu.ops import native as _native
+    eng = "native" if _native.available() else "auto"
     t0 = time.perf_counter()
-    gr.add_sheet("greenland", specI, subdiv=2)
+    gr.add_sheet("greenland", specI, subdiv=2, engine=eng)
+    out["sheet_build_engine"] = eng
     out["sheet_build_s"] = round(time.perf_counter() - t0, 2)
     c = specI.cell_centers()
     ex = (np.ptp(specI.xb) / 2.2, np.ptp(specI.yb) / 2.2)
