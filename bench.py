@@ -154,7 +154,7 @@ def build_matrices():
         # ONE Pallas tile set serves both directions (exact transposes)
         pm = pallas_from_weighted(Me, small_axis="rows", nv=NVAR)
         out[name] = (pm, Me, Mi)
-    return out, build_stats
+    return out, build_stats, gr
 
 
 def main():
@@ -167,7 +167,7 @@ def main():
     from icebin_tpu.ops.pallas_bdt import (apply_small, apply_small_blocked,
                                            apply_ice_blocked)
 
-    mats, build_stats = build_matrices()
+    mats, build_stats, gr2 = build_matrices()
     rng = np.random.default_rng(0)
 
     # conservation gates per sheet (host f64 oracle vs device f32 apply,
@@ -235,7 +235,7 @@ def main():
     roof_p = practical_roof(roof)
 
     coupler_stats = bench_coupler()
-    coupler_stats.update(bench_multisheet())
+    coupler_stats.update(bench_multisheet(gr2))
     print(json.dumps({
         "metric": "regrid_spmm_effective_GBps",
         "value": round(gbps, 2), "unit": "GB/s",
@@ -374,7 +374,7 @@ def bench_coupler():
             "regen_seconds_5km": round(regen_s, 3)}
 
 
-def bench_multisheet():
+def bench_multisheet(gr=None):
     """BASELINE config #5 as an ACTUAL coupled run (VERDICT r4 next #6):
     ONE GCMCoupler driving BOTH 5 km sheets (Greenland 165 k + Antarctica
     1.25 M cells) on the real chip -- production stepwise mode, two-point
@@ -388,19 +388,22 @@ def bench_multisheet():
     from icebin_tpu.grid.spec import GridSpecXY, modele_lonlat_grid
     from icebin_tpu.regrid.gcmregridder import GCMRegridder
 
-    specA = modele_lonlat_grid(144, 90)
-    R = 2800e3
-    nA5 = int(2 * R / 5e3)
-    gr = GCMRegridder(specA, hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3500.0])
-    gr.add_sheet("greenland", GridSpecXY(
-        xb=np.linspace(-650e3, 870e3, 305),
-        yb=np.linspace(-3350e3, -630e3, 545),
-        projection="+proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 "
-                   "+ellps=WGS84"), subdiv=2)
-    gr.add_sheet("antarctica", GridSpecXY(
-        xb=np.linspace(-R, R, nA5 + 1), yb=np.linspace(-R, R, nA5 + 1),
-        projection="+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 "
-                   "+ellps=WGS84", name="antarctica_5km"), subdiv=2)
+    if gr is None:      # standalone use: rebuild both 5 km sheets
+        specA = modele_lonlat_grid(144, 90)
+        R = 2800e3
+        nA5 = int(2 * R / 5e3)
+        gr = GCMRegridder(specA,
+                          hcdefs=[0.0, 500.0, 1000.0, 2000.0, 3500.0])
+        gr.add_sheet("greenland", GridSpecXY(
+            xb=np.linspace(-650e3, 870e3, 305),
+            yb=np.linspace(-3350e3, -630e3, 545),
+            projection="+proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 "
+                       "+ellps=WGS84"), subdiv=2)
+        gr.add_sheet("antarctica", GridSpecXY(
+            xb=np.linspace(-R, R, nA5 + 1),
+            yb=np.linspace(-R, R, nA5 + 1),
+            projection="+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 "
+                       "+ellps=WGS84", name="antarctica_5km"), subdiv=2)
     cfg = CouplerConfig(dt=86400.0 * 30, regen_every=1 << 30,
                         defer_ledger=True)
     cp = GCMCoupler(gr, cfg)

@@ -56,7 +56,15 @@ class MeshIceSheetCoupler(IceSheetCoupler):
     """
 
     def __init__(self, gr, sheet: str, cfg: CouplerConfig, mesh,
-                 nv: int = 8, interpret: Optional[bool] = None, **kw):
+                 nv: Optional[int] = None,
+                 interpret: Optional[bool] = None, **kw):
+        if nv is None:
+            # real-chip meshes inherit the coupler's field-batch width
+            # (round 5: NV=16 halves harvest kernel calls); CPU-interpret
+            # test meshes stay at 8 (interpret cost scales with NV)
+            import jax as _jax
+            nv = (getattr(cfg, "pallas_nv", 8)
+                  if _jax.default_backend() == "tpu" else 8)
         n = int(mesh.devices.size)
         specI = gr.sheets[sheet].specI
         self.ny_l = -(-specI.ny // n)            # rows per shard

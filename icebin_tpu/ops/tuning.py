@@ -22,7 +22,18 @@ Tunables and their VMEM budgets (f32 bytes; NV=8, TS=4 throughout):
               the band matmul).  Caps pathological polar chunks; tiles
               beyond it demote to the COO overflow epilogue.
 
-Measured on v5e (16 MB VMEM, 819 GB/s HBM): ps_chunk sweep at config #3
+ROUND-5 NOTE: every sweep below predates the scoped-VMEM unlock
+(``vmem_limit``; the chip runs 96 MB of live kernel buffers -- the 16 MB
+default silently boxed rounds 2-4).  At the unlocked budget the r5
+sweeps (tools/probe_nv.py, probe_chunk.py, probe_ant_nv.py, 2026-08)
+re-earn ps_chunk=128 (256 widens the W8 band 192->280 at config #3, 512
+-> 456; Antarctica flat across 64/96/128) and sec_blocks=1024 with FULL
+sections now fitting at any NV (zero chunk padding at config #3); NV=16
+is the coupler/bench default (76.7 us per-8-field round trip vs 144.2
+at NV=8).
+
+Historical (pre-unlock, 16 MB era) -- kept for the design record:
+measured on v5e (819 GB/s HBM): ps_chunk sweep at config #3
 {64: 205 us, 128: 185 us, 256: 227 us} round trip -> 128; Antarctica-scale
 sec_blocks {512, 1024, 2048} flat within noise in the r3 sweep, and 512
 measured WORSE than 1024 end-to-end once the r4 dest-small kernel began

@@ -88,12 +88,18 @@ def test_device_tunables_table():
     from icebin_tpu.ops.tuning import apply_tunables, tunables_for
     for kind in ("TPU v5 lite", "TPU v5e", "TPU v5p", "TPU v4", "cpu", ""):
         t = tunables_for(kind)
-        assert set(t) == {"ps_chunk", "sec_blocks", "w8_cap"}
+        assert set(t) == {"ps_chunk", "sec_blocks", "w8_cap",
+                          "vmem_limit"}
         assert t["ps_chunk"] in (64, 128, 256)
+        assert t["vmem_limit"] >= 16 * 1024 * 1024
+    # v4-class chips get a smaller scoped-VMEM budget than v5e (round 5)
+    assert (tunables_for("TPU v4")["vmem_limit"]
+            < tunables_for("TPU v5e")["vmem_limit"])
     t = apply_tunables("TPU v5p")
     assert pb.PS_CHUNK == t["ps_chunk"]
     assert pb.SEC_BLOCKS == t["sec_blocks"]
     assert pb.W8_CAP == t["w8_cap"]
+    assert pb.VMEM_LIMIT == t["vmem_limit"]
 
 
 def test_huge_E_space_sectioned():
