@@ -873,10 +873,10 @@ def _split3_dot(oh_bool, x, dims):
 
 
 def _fused_ice_kernel(PSC, ts, W8, sec_blocks, c0, eoff, scale, unroll,
+                      passes,
                       base_ref, p2b_ref, si_ref, fl_ref,
                       e3_ref, tiles_ref, woffT_ref, winv_ref,
                       out_ref, fwin_ref, fu_ref, *maybe_va):
-    va_ref = maybe_va[0] if maybe_va else None
     """Fused dest-ice: one chunk per grid step.
 
     The one-hot-transpose band matmul gathers E3 window rows into the
@@ -894,7 +894,14 @@ def _fused_ice_kernel(PSC, ts, W8, sec_blocks, c0, eoff, scale, unroll,
     One call covers ONE E-section group: chunks [c0, c0+nstep), E3 input
     block = that section (``eoff`` = esec * e_sec), output = the PARTIAL
     over the group's ice-section range (summed across groups by the
-    caller when there is more than one)."""
+    caller when there is more than one).
+
+    ``passes`` selects the A1 accuracy mode like the dest-small kernel's
+    (6 = HIGHEST, the default 1e-7 forcing contract; 3 = in-kernel
+    split-bf16, ~4e-6 raw at ~1.5x the A1 speed -- round 5: exposed for
+    callers whose forcing fields tolerate it; conservation is untouched
+    either way, the f64 repair acts on weighted sums downstream)."""
+    va_ref = maybe_va[0] if maybe_va else None
     i = pl.program_id(0)
 
     @pl.when((fl_ref[c0 + i] & 1) == 1)
@@ -920,9 +927,13 @@ def _fused_ice_kernel(PSC, ts, W8, sec_blocks, c0, eoff, scale, unroll,
             fu_ref[:, q * ts:(q + 1) * ts, :] = blk.reshape(PSC, ts, NV)
 
         # one batched contraction for the whole chunk (K = 8*ts/pseudo)
-        va_ref[:] = jax.lax.dot_general(
-            fu_ref[:], tiles_ref[:], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=HIGH)
+        if passes >= 6:
+            va_ref[:] = jax.lax.dot_general(
+                fu_ref[:], tiles_ref[:], (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=HIGH)
+        else:
+            va_ref[:] = _dot3(fu_ref[:], tiles_ref[:],
+                              (((1,), (1,)), ((0,), (0,))))
 
         def body(p, _):
             j = p2b_ref[(c0 + i) * PSC + p] - si_ref[c0 + i] * sec_blocks
@@ -934,9 +945,13 @@ def _fused_ice_kernel(PSC, ts, W8, sec_blocks, c0, eoff, scale, unroll,
             for q in range(TILE_R):               # -> (8*ts, NV) rows
                 fu_ref[0, q * ts:(q + 1) * ts, :] = \
                     fw[:, q * NV:(q + 1) * NV]
-            val = jax.lax.dot_general(
-                fu_ref[0], tiles_ref[p], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HIGH)
+            if passes >= 6:
+                val = jax.lax.dot_general(
+                    fu_ref[0], tiles_ref[p], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HIGH)
+            else:
+                val = _dot3(fu_ref[0], tiles_ref[p],
+                            (((0,), (0,)), ((), ())))
             j = p2b_ref[(c0 + i) * PSC + p] - si_ref[c0 + i] * sec_blocks
             out_ref[pl.ds(j, 1), :, :] += val[None]
             return 0
@@ -1006,7 +1021,7 @@ def _mk_fused_small(pm: PallasBDT, interpret: bool, scale: bool = False,
 
 
 def _mk_fused_ice(pm: PallasBDT, interpret: bool, scale: bool = False,
-                  group=None):
+                  group=None, passes=None):
     """One dest-ice kernel call for one E-section group (see
     ``_mk_fused_small``); the output is the partial over the group's
     ice-section range [lo, hi)."""
@@ -1043,7 +1058,7 @@ def _mk_fused_ice(pm: PallasBDT, interpret: bool, scale: bool = False,
     )
     return pl.pallas_call(
         functools.partial(_fused_ice_kernel, PSC, ts, W8, SEC, c0, eoff,
-                          scale, not interpret),
+                          scale, not interpret, passes or 6),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(((hi - lo) * SEC, NV, TILE_C),
                                        jnp.float32),
@@ -1123,10 +1138,14 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "passes"))
 def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
-                      interpret: Optional[bool] = None):
-    """dest-ice (IvE/IvA): E3 layout → blocked ice (nblkpad, NV, 128)."""
+                      interpret: Optional[bool] = None,
+                      passes: Optional[int] = None):
+    """dest-ice (IvE/IvA): E3 layout → blocked ice (nblkpad, NV, 128).
+    ``passes`` selects the A1 accuracy (None/6 = HIGHEST, the 1e-7
+    forcing contract; 3 = split-bf16 ~4e-6)."""
     if interpret is None:
         interpret = _interpret_default()
     # the fused kernel folds in the pseudo→true segment-sum and (overflow-
@@ -1141,14 +1160,15 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
     in_scale = scale and pm.ov_s is None and pm.nesec == 1
     with jax.enable_x64(False):   # Mosaic rejects x64 grid indices
         if pm.nesec == 1:
-            out = _mk_fused_ice(pm, interpret, in_scale)(
+            out = _mk_fused_ice(pm, interpret, in_scale, passes=passes)(
                 pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
                 e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
         else:
             SEC = pm.sec_blocks
             out = jnp.zeros((pm.nblkpad, pm.NV, TILE_C), jnp.float32)
             for g in pm.egroups:
-                part = _mk_fused_ice(pm, interpret, False, g)(
+                part = _mk_fused_ice(pm, interpret, False, g,
+                                     passes=passes)(
                     pm.base, pm.pseudo2blk, pm.sec_idx, pm.sec_flags,
                     e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
                 _c0, _c1, _e, lo, hi = g
@@ -1224,7 +1244,9 @@ def apply_view(vw: PallasView, f, scale: bool = True, var_factor=None,
     ``fill`` lands on zero-weight destinations when scaling (the kernels
     produce 0 there); ``var_factor``/``var_offset`` are per-field affine
     unit conversions fused on the output.  ``passes`` selects the
-    dest-small MXU accuracy (see ``_dot3``); dest-ice always runs HIGHEST.
+    dest-small MXU accuracy (see ``_dot3``); dest-ice ALWAYS runs
+    HIGHEST here -- the coupler's 1e-7 forcing contract (direct
+    ``apply_ice(..., passes=3)`` callers can opt out).
     """
     single = f.ndim == 1
     fv = f[None, :] if single else f
@@ -1266,9 +1288,11 @@ def apply_small(pm: PallasBDT, f, scale: bool = True,
     return out[0] if single else out
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "passes"))
 def apply_ice(pm: PallasBDT, f, scale: bool = True,
-              interpret: Optional[bool] = None):
+              interpret: Optional[bool] = None,
+              passes: Optional[int] = None):
     """(nv, nsmall) or (nsmall,) → (nv, nice): convenience wrapper.  Field
     counts beyond the pack's NV batch through in NV-sized groups."""
     single = f.ndim == 1
@@ -1276,12 +1300,12 @@ def apply_ice(pm: PallasBDT, f, scale: bool = True,
     nv_in = fv.shape[0]
     if nv_in > pm.NV:
         parts = [apply_ice(pm, fv[k:k + pm.NV], scale=scale,
-                           interpret=interpret)
+                           interpret=interpret, passes=passes)
                  for k in range(0, nv_in, pm.NV)]
         return jnp.concatenate(parts, axis=0)
     if nv_in < pm.NV:
         fv = jnp.pad(fv, ((0, pm.NV - nv_in), (0, 0)))
     out = apply_ice_blocked(pm, pm.small_to_e3(fv), scale=scale,
-                            interpret=interpret)
+                            interpret=interpret, passes=passes)
     out = pm.blocked_to_ice(out)[:nv_in]
     return out[0] if single else out

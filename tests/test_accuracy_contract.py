@@ -133,3 +133,30 @@ def test_huge_E_space_sectioned():
     refi = (dense.T @ g.T).T / np.where(wI == 0, 1.0, wI)[None, :]
     outi = np.asarray(apply_ice(pm, g, scale=True))
     assert np.allclose(outi, refi, atol=1e-4)
+
+
+def test_ice_passes_knob():
+    """apply_ice's A1 accuracy knob (round 5): 3-pass is looser but
+    bounded, 6-pass (the default -- the coupler's 1e-7 forcing contract)
+    is strictly tighter."""
+    import jax.numpy as jnp
+    from icebin_tpu.ops.pallas_bdt import apply_ice
+    pm, Me, f, _, _ = _setup()
+    g = np.random.default_rng(7).uniform(0.5, 1.5, (2, Me.shape[0]))
+    dense = np.zeros(Me.shape)
+    dense[Me.rows, Me.cols] = Me.vals
+    wI = dense.sum(0)
+    ref = (dense.T @ g.T).T / np.where(wI == 0, 1.0, wI)[None, :]
+    scale = np.abs(ref).max()
+    errs = {}
+    for passes in (3, 6, None):
+        out = np.asarray(apply_ice(pm, jnp.asarray(g, jnp.float32),
+                                   passes=passes), np.float64)
+        errs[passes] = np.abs(np.where(wI[None, :] > 0, out, 0.0)
+                              - ref).max() / scale
+    assert errs[6] == errs[None]          # None == HIGHEST default
+    assert errs[6] < BOUND_6PASS
+    # the dest-ice K=32 contraction's 3-pass error runs a bit above the
+    # dest-small bound (measured ~1.5e-5 on this toy)
+    assert errs[3] < 5e-5
+    assert errs[6] < errs[3]
