@@ -5,7 +5,9 @@ floor; probe_rmw showed the scatter is NOT it).  Cumulative variants:
   +unfold  : + chunk-level unfold into fu
   +dot     : + batched HIGHEST contraction into va
   +scatter : + per-pseudo RMW (== full kernel)
-Run: python tools/probe_ice_bisect.py"""
+Round 5: takes the pack NV on the command line (default 16, the bench
+config) and compiles under the unlocked VMEM_LIMIT.
+Run: python tools/probe_ice_bisect.py [nv]"""
 import sys
 import time
 
@@ -32,9 +34,11 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from icebin_tpu.ops import pallas_bdt as pb
-    from tools.probe_r4 import build_pm
+    from tools.probe_ts import greenland_weighted
 
-    pm = build_pm()
+    nv = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    Me = greenland_weighted()
+    pm = pb.pallas_from_weighted(Me, small_axis="rows", nv=nv)
     PSC, ts, NV, W8 = pb.PS_CHUNK, pm.ts, pm.NV, pm.W8
     C2 = PSC * ts
     SEC = pm.sec_blocks
@@ -47,7 +51,8 @@ def main():
 
     rng = np.random.default_rng(0)
     fb = pm.ice_to_blocked(
-        jnp.asarray(rng.uniform(0.5, 1.5, (8, pm.nice)), jnp.float32))
+        jnp.asarray(rng.uniform(0.5, 1.5, (pm.NV, pm.nice)),
+                    jnp.float32))
     e3_0 = pb.apply_small_blocked(pm, fb, scale=True)
 
     def mk_ice(level):
@@ -115,6 +120,8 @@ def main():
             kernel, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(((hi - lo) * SEC, NV, TILE_C),
                                            jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=pb.VMEM_LIMIT),
             cost_estimate=pl.CostEstimate(
                 flops=2 * pm.tiles2.size * NV,
                 bytes_accessed=pm.tiles2.size * 4, transcendentals=0))
