@@ -61,10 +61,11 @@ class MeshIceSheetCoupler(IceSheetCoupler):
         if nv is None:
             # real-chip meshes inherit the coupler's field-batch width
             # (round 5: NV=16 halves harvest kernel calls); CPU-interpret
-            # test meshes stay at 8 (interpret cost scales with NV)
-            import jax as _jax
+            # test meshes stay at 8 (interpret cost scales with NV).
+            # Keyed on the MESH's device platform, not the global default
+            # backend: a CPU test mesh on a TPU host must still get 8
             nv = (getattr(cfg, "pallas_nv", 8)
-                  if _jax.default_backend() == "tpu" else 8)
+                  if mesh.devices.flat[0].platform == "tpu" else 8)
         n = int(mesh.devices.size)
         specI = gr.sheets[sheet].specI
         self.ny_l = -(-specI.ny // n)            # rows per shard

@@ -25,13 +25,31 @@ __all__ = ["ear_clip", "decompose_concave", "convexity_defect"]
 
 def convexity_defect(rings: np.ndarray, areas: np.ndarray) -> np.ndarray:
     """(n, V, 2) CCW rings -> (n,) bool: True where the ring has a
-    genuinely reflex corner (cross product below -1e-9 x cell scale;
-    duplicate-padding vertices give zero cross products, which pass)."""
+    genuinely reflex corner (cross product below -1e-9 x cell scale).
+
+    Duplicate-padding vertices create ZERO-LENGTH edges; a naive
+    consecutive-edge cross test returns 0 at every corner adjacent to a
+    pad edge, silently missing a reflex corner that sits next to the
+    padding (review r5: an L-cell padded at its reflex corner clipped as
+    if convex, losing 80% of its overlap).  Each nonzero edge is
+    therefore tested against the PREVIOUS nonzero edge (cyclic
+    forward-fill over the pad slots)."""
+    rings = np.asarray(rings, np.float64)
+    n, V, _ = rings.shape
     e = np.roll(rings, -1, axis=1) - rings
-    cross = (e[:, :, 0] * np.roll(e, -1, axis=1)[:, :, 1]
-             - e[:, :, 1] * np.roll(e, -1, axis=1)[:, :, 0])
+    nz = np.abs(e).max(axis=2) > 0.0              # (n, V) real edges
+    any_nz = nz.any(axis=1)
+    # cyclic init: the LAST nonzero edge of each ring
+    idx_last = V - 1 - np.argmax(nz[:, ::-1], axis=1)
+    last = e[np.arange(n), np.where(any_nz, idx_last, 0)]
+    cross_min = np.zeros(n)
+    for k in range(V):
+        ek = e[:, k]
+        cr = last[:, 0] * ek[:, 1] - last[:, 1] * ek[:, 0]
+        cross_min = np.minimum(cross_min, np.where(nz[:, k], cr, 0.0))
+        last = np.where(nz[:, k][:, None], ek, last)
     scale2 = np.maximum(np.abs(areas), 1e-30)
-    return (cross < -1e-9 * scale2[:, None]).any(axis=1)
+    return cross_min < -1e-9 * scale2
 
 
 def _dedupe_ring(ring: np.ndarray) -> np.ndarray:
@@ -117,17 +135,18 @@ def decompose_concave(clips: np.ndarray, areas: np.ndarray):
     concave = convexity_defect(clips, areas)
     if not concave.any():
         return clips, np.arange(n, dtype=np.int64)
-    pieces = []
-    p2c = []
-    for i in range(n):
-        if not concave[i]:
-            pieces.append(clips[i])
-            p2c.append(i)
-            continue
+    # decompose ONLY the flagged cells (a Python loop over the whole mesh
+    # would cost minutes at unstructured-ocean scale for a handful of
+    # concave coastline cells -- review r5); convex cells pass through as
+    # one vectorized block and the pieces are appended after them
+    pieces = [clips[~concave]]
+    p2c = [np.nonzero(~concave)[0]]
+    for i in np.nonzero(concave)[0]:
         tris = ear_clip(clips[i])
         for t in tris:
             pad = np.repeat(t[-1:, :], V - 3, axis=0) if V > 3 else \
                 np.zeros((0, 2))
-            pieces.append(np.concatenate([t, pad], axis=0))
-            p2c.append(i)
-    return np.asarray(pieces), np.asarray(p2c, np.int64)
+            pieces.append(np.concatenate([t, pad], axis=0)[None])
+            p2c.append(np.asarray([i]))
+    return (np.concatenate(pieces, axis=0),
+            np.concatenate(p2c).astype(np.int64))

@@ -304,20 +304,17 @@ def make_exchange_grid_polyclip(specA, specI, subdiv: int = 2,
     clip regions.  Candidate pairs come from a uniform bbox bucket grid
     over the clip pieces (the lattice-free twin of ``candidate_pairs``).
     """
-    from icebin_tpu.grid.decompose import decompose_concave
+    from icebin_tpu.grid.decompose import (convexity_defect,
+                                           decompose_concave)
     cells = specI.plane_polygons()                    # (nI, Vc, 2) CCW
     areasI = specI.plane_areas()
     clips, piece2cell = decompose_concave(cells, areasI)
     # convexity of the PIECES (belt and braces: a self-intersecting ring
-    # can defeat ear clipping; duplicate-padding edges give zero cross
-    # products, which pass)
-    e = np.roll(clips, -1, axis=1) - clips
-    cross = (e[:, :, 0] * np.roll(e, -1, axis=1)[:, :, 1]
-             - e[:, :, 1] * np.roll(e, -1, axis=1)[:, :, 0])
-    scale2 = np.maximum(areasI, 1e-30)[piece2cell]
-    if (cross < -1e-9 * scale2[:, None]).any():
-        bad = int(piece2cell[np.nonzero(
-            (cross < -1e-9 * scale2[:, None]).any(axis=1))[0][0]])
+    # can defeat ear clipping) -- the SAME predicate the decomposition
+    # trigger uses, so the two can never silently disagree (review r5)
+    bad_p = convexity_defect(clips, np.abs(areasI)[piece2cell])
+    if bad_p.any():
+        bad = int(piece2cell[np.nonzero(bad_p)[0][0]])
         raise ValueError(f"generic clip cell {bad} is not convex after "
                          "decomposition (self-intersecting ring?)")
 

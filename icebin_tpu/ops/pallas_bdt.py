@@ -331,9 +331,11 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS,
         s = row_start[bb, tt] + rr
         c = bb * TILE_C + cc
         v = tiles[bb, tt, rr, cc].astype(np.float64)
+    ovw = (None if bm.ov_rows is None
+           else np.asarray(bm.ov_rows, np.int64) // TILE_R)
     (tiles_ps, w_ps, realp, pseudo2blk, haspid, first, nblk, nblkpad,
      npspad, esecp) = _pseudo_from_coo(s, c, v, nsmall, nice, ts,
-                                       e_sec=e_sec)
+                                       e_sec=e_sec, extra_wins=ovw)
     return _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first,
                         np.asarray(bm.wS, np.float64),
                         np.asarray(bm.wI, np.float64),
@@ -343,7 +345,8 @@ def pallas_from_bdt(bm: BDTMatrix, nv: int = 8, ts: int = TS,
                         esec_present=esecp)
 
 
-def _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=None):
+def _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=None,
+                     extra_wins=None):
     """COO (small rows s, ice cols i, vals v) -> pseudo-block intermediates,
     WITHOUT materializing the dense (nblk, T, 8, 128) BDT tile array (which
     costs minutes and gigabytes at Antarctica-5km scale: 120 s profiled,
@@ -367,8 +370,17 @@ def _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=None):
     # buckets with realized windows exist -- slot k of the sorted present
     # list owns compact windows [k*e_sec, (k+1)*e_sec).  Identity when
     # every bucket is present (mesh shards pass a whole-space e_sec), so
-    # legacy packs are bit-identical.
-    esec_present = np.unique(win // e_sec)
+    # legacy packs are bit-identical.  ``extra_wins`` (windows realized
+    # only through a caller-supplied COO overflow -- the legacy dense-BDT
+    # test-hook path) join the present set so the overflow epilogue's
+    # w_fwd lookups always land in a live bucket (review r5: an
+    # overflow-only bucket otherwise mapped to -1 and jnp.take's clip
+    # silently redirected the contribution to compact window 0).
+    buckets = win // e_sec
+    if extra_wins is not None and len(extra_wins):
+        buckets = np.concatenate(
+            [buckets, np.asarray(extra_wins, np.int64) // e_sec])
+    esec_present = np.unique(buckets)
     win = (np.searchsorted(esec_present, win // e_sec) * e_sec
            + win % e_sec)
     nw_tot = len(esec_present) * e_sec + 2
@@ -1116,13 +1128,21 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
                 pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2, fb,
                 pm.w_off, pm.winvS_e3)
         else:
-            # bucket compaction (round 5) guarantees every section slot
-            # has a group, in slot order
-            assert tuple(g[2] for g in pm.egroups) == tuple(
-                range(pm.nesec))
-            parts = [_mk_fused_small(pm, interpret, in_scale, passes, g)(
-                pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2, fb,
-                pm.w_off, pm.winvS_e3) for g in pm.egroups]
+            # compaction keeps only PRESENT buckets, but a bucket whose
+            # rows are realized solely through the COO overflow has no
+            # chunks/group -- its kernel part is exact zeros (the
+            # epilogue adds the overflow)
+            gmap = {g[2]: g for g in pm.egroups}
+            parts = []
+            for e_ in range(pm.nesec):
+                if e_ in gmap:
+                    parts.append(_mk_fused_small(
+                        pm, interpret, in_scale, passes, gmap[e_])(
+                        pm.base, pm.pseudo2blk, pm.sec_idx, pm.tiles2,
+                        fb, pm.w_off, pm.winvS_e3))
+                else:
+                    parts.append(jnp.zeros((pm.e_sec, TILE_R * pm.NV),
+                                           jnp.float32))
             acc = jnp.concatenate(parts, axis=0)
     if in_scale:
         return acc

@@ -386,3 +386,20 @@ def test_lonlat_x_generic_clip():
     # A covers every hex: repaired column sums equal the hex plane areas
     np.testing.assert_allclose(xg.area_sums_I(), clip.plane_areas(),
                                rtol=1e-12)
+
+
+def test_concave_reflex_at_pad_corner():
+    """Review r5 regression: a concave cell whose REFLEX corner is
+    adjacent to duplicate-padding (zero-length) edges must still be
+    detected and decomposed -- the naive consecutive-edge cross test
+    returned 0 there and the cell clipped as convex, silently losing 80%
+    of its overlap."""
+    from icebin_tpu.grid.decompose import convexity_defect
+    # L-ring whose padding sits right at the reflex corner (1,1)
+    L = np.asarray([[[1.0, 3.0], [0.0, 3.0], [0.0, 0.0], [3.0, 0.0],
+                     [3.0, 1.0], [1.0, 1.0], [1.0, 1.0], [1.0, 1.0]]])
+    assert convexity_defect(L, np.array([5.0])).all()
+    clip = GridSpecGeneric(polygons=L, projection=PlateCarree(scale=1e3))
+    subj = GridSpecGeneric(polygons=_tri_grid(-1.0, 4.0, -1.0, 4.0, 10))
+    xg = make_exchange_grid(subj, clip, engine="numpy", repair=False)
+    np.testing.assert_allclose(xg.area_sums_I(), [5.0e6], rtol=1e-12)

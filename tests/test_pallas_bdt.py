@@ -224,3 +224,36 @@ def test_bucket_compaction_sparse_e_space():
     live[M.rows] = True
     np.testing.assert_array_equal(back[:, live],
                                   np.float32(g)[:, live])
+
+
+def test_overflow_only_bucket_compaction():
+    """Review r5 regression: rows realized ONLY through the COO overflow
+    (legacy dense-BDT cap path) must keep their E-section bucket PRESENT
+    under compaction -- w_fwd==-1 previously clip-redirected the
+    contribution to compact window 0."""
+    rng = np.random.default_rng(11)
+    n_i = 512
+    e_sec = 64                         # buckets of 512 small rows
+    n_s = 4 * e_sec * 8                # 4 logical buckets
+    # dense rows in bucket 0; ONE heavy row in bucket 2 whose windows all
+    # demote via a tiny per-block tile cap
+    rows = np.concatenate([rng.integers(0, 256, 3000),
+                           np.full(200, 2 * e_sec * 8 + 40)])
+    cols = np.concatenate([rng.integers(0, n_i, 3000),
+                           rng.integers(0, 200, 200)])
+    vals = rng.uniform(0.5, 1.5, rows.size)
+    key = rows.astype(np.int64) * n_i + cols
+    _, idx = np.unique(key, return_index=True)
+    M = WeightedMatrix(rows=rows[idx], cols=cols[idx], vals=vals[idx],
+                       shape=(n_s, n_i))
+    pm = pallas_from_weighted(M, small_axis="rows", nv=8, e_sec=e_sec,
+                              max_tiles_per_block=2)
+    assert pm.ov_s is not None         # the cap demoted something
+    f = rng.uniform(0.5, 1.5, (2, n_i))
+    got = np.asarray(apply_small(pm, jnp.asarray(f, jnp.float32)))
+    ref = oracle_small(M, f)
+    assert np.max(np.abs(got - ref) / (np.abs(ref) + 1e-9)) < 4e-5
+    g = rng.uniform(0.5, 1.5, (2, n_s))
+    gotI = np.asarray(apply_ice(pm, jnp.asarray(g, jnp.float32)))
+    refI = oracle_ice(M, g)
+    assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 4e-5
