@@ -467,4 +467,20 @@ def _timed(fn, pm, fb):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # ONE retry after a pause: the axon relay intermittently degrades
+    # (observed this round: compile requests bounced with HTTP 413 and
+    # device builds crawled 10-70x for minutes at a time) and a transient
+    # failure must not zero the round's record
+    for attempt in (1, 2):
+        try:
+            sys.exit(main())
+        except SystemExit:
+            raise
+        except Exception:
+            if attempt == 2:
+                raise
+            import traceback
+            traceback.print_exc()
+            print("# bench attempt 1 failed; retrying in 30 s",
+                  file=sys.stderr, flush=True)
+            time.sleep(30.0)
