@@ -257,3 +257,30 @@ def test_overflow_only_bucket_compaction():
     gotI = np.asarray(apply_ice(pm, jnp.asarray(g, jnp.float32)))
     refI = oracle_ice(M, g)
     assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 4e-5
+
+
+@pytest.mark.parametrize("nv,nvar", [(16, 16), (16, 10), (64, 64)])
+def test_pallas_bdt_wide_nv(nv, nvar):
+    """Production (nv=16, incl. the coupler's padded 10-field harvest)
+    and throughput-mode (nv=64) packs vs the oracle.  The NV-wide kernel
+    layouts (fold/unfold lanes, band one-hot, batched A1 contraction)
+    are nv-generic but only nv=8 had suite coverage before round 5;
+    nv=64 is the measured-best per-field config for wide-field
+    (many-tracer / ensemble) Antarctica-scale applies
+    (tools/probe_ant_nv.py)."""
+    M = synth(seed=7)
+    pm = pallas_from_weighted(M, small_axis="rows", nv=nv)
+    assert pm.NV == nv
+    rng = np.random.default_rng(6)
+    f = rng.uniform(0.5, 1.5, (nvar, M.shape[1]))
+    f[0, ::7] = np.nan
+    got = np.asarray(apply_small(pm, jnp.asarray(f, jnp.float32)))
+    ref = oracle_small(M, f)
+    assert got.shape == (nvar, M.shape[0])
+    assert np.max(np.abs(got - ref) / (np.abs(ref) + 1e-9)) < 2e-5
+
+    g = rng.uniform(0.5, 1.5, (nvar, M.shape[0]))
+    gotI = np.asarray(apply_ice(pm, jnp.asarray(g, jnp.float32)))
+    refI = oracle_ice(M, g)
+    assert gotI.shape == (nvar, M.shape[1])
+    assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 2e-5

@@ -76,6 +76,8 @@ def main():
 
     cfgs = [(8, 1024), (8, 2048), (8, 4096),
             (16, 1024), (16, 2048), (16, 4096)]
+    if len(sys.argv) > 1:        # e.g. python tools/probe_ant_nv.py 32,1024 64,1024
+        cfgs = [tuple(int(t) for t in a.split(",")) for a in sys.argv[1:]]
     best = None
     for nv, sec in cfgs:
         try:
