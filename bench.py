@@ -230,6 +230,39 @@ def main():
                            "rt_us_total": 1e6 * per_rt,
                            "lat_ms": 1e3 * lat}
 
+    # wide-NV throughput mode (round 5): Antarctica's A1 contraction is
+    # MXU-row-bound at nv=16 (16 of 128 sublanes); nv=64 fills half the
+    # array and is the measured per-field-fastest config for wide-field
+    # (many-tracer / ensemble / global-EC) applies -- 730 -> ~498 us
+    # per-8-field (tools/probe_ant_nv.py sweep).  The coupler's 18-field
+    # contract pads to NV, so nv=16 stays the coupled-run default and the
+    # headline keys above.  Fail-safe: a relay hiccup drops this key, not
+    # the bench.
+    wide = {}
+    try:
+        from icebin_tpu.ops.pallas_bdt import pallas_from_weighted as _pfw
+        Me_a = mats["antarctica"][1]
+        pm64 = _pfw(Me_a, small_axis="rows", nv=64)
+        f1 = np.asarray(rng.uniform(1.0, 2.0, Me_a.shape[1]))
+        dev = np.asarray(apply_small(pm64, jnp.asarray(f1, jnp.float32)),
+                         np.float64)
+        m_dev = np.nansum(np.where(np.isfinite(dev), dev, 0.0) * Me_a.wM)
+        m_src = np.sum(f1 * Me_a.Mw)
+        assert abs(m_dev - m_src) / abs(m_src) < 1e-5, "nv64 gate"
+        fb64 = pm64.small_to_e3(jnp.asarray(
+            rng.uniform(0.5, 1.5, (64, pm64.nsmall)), jnp.float32))
+        c1, c2 = make_chain(pm64, N1_BIG), make_chain(pm64, N2_BIG)
+        float(c1(pm64, fb64))
+        float(c2(pm64, fb64))
+        ts1 = [_timed(c1, pm64, fb64) for _ in range(4)]
+        ts2 = [_timed(c2, pm64, fb64) for _ in range(4)]
+        per_rt = max((min(ts2) - min(ts1)) / (N2_BIG - N1_BIG), 1e-9)
+        wide["antarctica_nv64_rt_us"] = round(1e6 * per_rt * 8 / 64, 1)
+        del pm64, fb64
+    except Exception as e:
+        print(f"# wide-NV bench skipped: {type(e).__name__}: "
+              f"{str(e)[:160]}", file=sys.stderr, flush=True)
+
     gbps = per_sheet["greenland"]["gbps"]
     roof = nominal_roof()
     roof_p = practical_roof(roof)
@@ -272,6 +305,7 @@ def main():
             build_stats["ant_pairs"]
             / max(build_stats["ant_seconds"], 1e-9)),
         "antarctica_build_seconds": round(build_stats["ant_seconds"], 3),
+        **wide,
         **coupler_stats,
     }))
 
