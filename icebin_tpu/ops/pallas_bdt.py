@@ -434,7 +434,8 @@ def _pseudo_from_coo(s, i, v, nsmall, nice, ts, e_sec=None,
 def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
                  nsmall, nice, nblk, nblkpad, nv, ts,
                  ov_rows, ov_cols, ov_vals, sec_blocks=None,
-                 e_sec=None, esec_present=None) -> PallasBDT:
+                 e_sec=None, esec_present=None,
+                 w8_quantile: float = 1.0) -> PallasBDT:
     """Shared packing tail: order pseudo-blocks E-SECTION-major, then
     ICE-SECTION-major, then WINDOW-sorted; chunk; band-cap; demote
     out-of-band tiles to COO; build weight layouts.
@@ -584,7 +585,20 @@ def _finish_pack(tiles_ps, w_ps, realp, pseudo2blk, haspid, first, wS, wI,
     off = ws - base8[:, None]
 
     spread = np.where(rs, off, 0)
-    W8 = int(min(max(int(spread.max(initial=0)) + 1, TILE_R), W8_CAP))
+    W8 = int(spread.max(initial=0)) + 1
+    if w8_quantile < 1.0 and nchunk > 1:
+        # band-cost cap (round 5): W8 is otherwise set by the single
+        # WORST chunk; a quantile cap demotes the tail's out-of-band
+        # tiles to the COO epilogue and shrinks every chunk's band
+        # matmul.  MEASURED COUNTERPRODUCTIVE on v5e for Antarctica 5 km
+        # (tools/probe_w8_cap.py: q=0.95 demotes only 1159 entries yet
+        # rt DOUBLES -- the XLA gather/scatter epilogue costs ~545 us
+        # per apply even scale-folded, vs ~60-100 us of band savings;
+        # TPU scatter is the same ~100x-byte-cost pathology recorded for
+        # round 1).  Kept as an experimentation knob; default 1.0 = off.
+        sp_chunk = spread.max(axis=1) + 1
+        W8 = min(W8, max(int(np.quantile(sp_chunk, w8_quantile)), TILE_R))
+    W8 = int(min(max(W8, TILE_R), W8_CAP))
     W8 = -(-W8 // TILE_R) * TILE_R
     # clamp each chunk's band start so [base8, base8+W8) stays inside its
     # E section block.  No-op only when max(base8) + W8 <= e_sec; a
@@ -713,7 +727,8 @@ def _ensure_tuned():
 
 def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
                          ts: int = TS, max_tiles_per_block=None,
-                         sec_blocks=None, e_sec=None) -> PallasBDT:
+                         sec_blocks=None, e_sec=None,
+                         w8_quantile: float = 1.0) -> PallasBDT:
     """Build the fused-kernel form straight from a WeightedMatrix.
 
     Packs the pseudo-block tiles DIRECTLY from the COO entries
@@ -758,7 +773,8 @@ def pallas_from_weighted(M, small_axis: str = "rows", nv: int = 8,
                         np.asarray(wI, np.float64),
                         nsmall, nice, nblk, nblkpad, nv, ts,
                         None, None, None, sec_blocks=sec_blocks,
-                        e_sec=e_sec, esec_present=esecp)
+                        e_sec=e_sec, esec_present=esecp,
+                        w8_quantile=w8_quantile)
 
 
 # ---------------------------------------------------------------------------
@@ -1116,10 +1132,14 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
     """
     if interpret is None:
         interpret = _interpret_default()
-    # with no overflow the winvS scale fuses into the kernel's last step;
-    # overflow entries must be added unscaled first, so the scale waits
-    # (per-esec calls may fuse it too: groups partition the E rows)
-    in_scale = scale and pm.ov_s is None
+    # the winvS scale always fuses into the kernel's last step (per-esec
+    # calls too: groups partition the E rows).  Overflow entries add
+    # AFTER with the diagonal scale folded into the addend — (K + O)·D =
+    # K·D + O·D — so demoting tiles to COO no longer costs a full
+    # accumulator re-pass (round 5; the old unscaled-add-then-scale
+    # epilogue re-streamed the whole E3 accumulator and unblocked the
+    # entire ice field for a handful of entries)
+    in_scale = scale
     # Mosaic rejects x64 grid indices; the kernels are all-f32/int32, so
     # trace them with x64 scoped off (callers may run a global-x64 ledger).
     with jax.enable_x64(False):
@@ -1144,17 +1164,21 @@ def apply_small_blocked(pm: PallasBDT, fb, scale: bool = True,
                     parts.append(jnp.zeros((pm.e_sec, TILE_R * pm.NV),
                                            jnp.float32))
             acc = jnp.concatenate(parts, axis=0)
-    if in_scale:
-        return acc
     if pm.ov_s is not None:
-        fI = pm.blocked_to_ice(fb)                          # (NV, nice)
-        g = jnp.take(fI, pm.ov_c, axis=1) * pm.ov_v[None, :]
+        # sources gathered straight from the BLOCKED field (flat index
+        # (c//128)·NV·128 + v·128 + c%128) — no full-array unblock
+        obase = ((pm.ov_c // TILE_C) * (pm.NV * TILE_C)
+                 + pm.ov_c % TILE_C)
+        sids = (obase[None, :]
+                + (jnp.arange(pm.NV, dtype=jnp.int32) * TILE_C)[:, None])
+        g = jnp.take(fb.reshape(-1), sids.reshape(-1)).reshape(pm.NV, -1)
+        g = g * pm.ov_v[None, :]
         ids = _ov_e3_ids(pm)
-        flat = jnp.zeros(pm.NWpad * TILE_R * pm.NV, jnp.float32)
-        flat = flat.at[ids.reshape(-1)].add(g.reshape(-1))
-        acc = acc + flat.reshape(pm.NWpad, TILE_R * pm.NV)
-    if scale:
-        acc = acc * pm.winvS_e3
+        if scale:
+            g = g * jnp.take(pm.winvS_e3.reshape(-1),
+                             ids.reshape(-1)).reshape(pm.NV, -1)
+        acc = acc.reshape(-1).at[ids.reshape(-1)].add(
+            g.reshape(-1)).reshape(pm.NWpad, TILE_R * pm.NV)
     return acc
 
 
@@ -1177,7 +1201,9 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
     # formerly took the r4 "one-group fast path" now pack as genuinely
     # single-section (zeros for dead rows come from the w_fwd/w_inv maps,
     # not a zeros-concat epilogue).
-    in_scale = scale and pm.ov_s is None and pm.nesec == 1
+    # (overflow no longer blocks the fused scale: the COO add folds the
+    # diagonal winvI into its addend — round 5)
+    in_scale = scale and pm.nesec == 1
     with jax.enable_x64(False):   # Mosaic rejects x64 grid indices
         if pm.nesec == 1:
             out = _mk_fused_ice(pm, interpret, in_scale, passes=passes)(
@@ -1193,20 +1219,19 @@ def apply_ice_blocked(pm: PallasBDT, e3, scale: bool = True,
                     e3, pm.tiles2, pm.w_offT, pm.winvI_blk)
                 _c0, _c1, _e, lo, hi = g
                 out = out.at[lo * SEC:hi * SEC].add(part)
-    if in_scale:
-        return out
     if pm.ov_s is not None:
         ids = _ov_e3_ids(pm)
         g = jnp.take(e3.reshape(-1), ids.reshape(-1)).reshape(pm.NV, -1)
         g = g * pm.ov_v[None, :]                            # (NV, nov)
+        if in_scale:       # kernel already scaled: fold winvI in here
+            g = g * jnp.take(pm.winvI_blk.reshape(-1), pm.ov_c)[None, :]
         # scatter into flat blocked out: (c//128)*NV*128 + v*128 + c%128
         obase = ((pm.ov_c // TILE_C) * (pm.NV * TILE_C) + pm.ov_c % TILE_C)
         oids = (obase[None, :]
                 + (jnp.arange(pm.NV, dtype=jnp.int32) * TILE_C)[:, None])
-        flat = jnp.zeros(pm.nblkpad * pm.NV * TILE_C, jnp.float32)
-        flat = flat.at[oids.reshape(-1)].add(g.reshape(-1))
-        out = out + flat.reshape(pm.nblkpad, pm.NV, TILE_C)
-    if scale:
+        out = out.reshape(-1).at[oids.reshape(-1)].add(
+            g.reshape(-1)).reshape(pm.nblkpad, pm.NV, TILE_C)
+    if scale and not in_scale:
         out = out * pm.winvI_blk
     return out
 

@@ -284,3 +284,44 @@ def test_pallas_bdt_wide_nv(nv, nvar):
     refI = oracle_ice(M, g)
     assert gotI.shape == (nvar, M.shape[1])
     assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 2e-5
+
+
+def test_pallas_bdt_w8_quantile_cap():
+    """Band-cost cap: ``w8_quantile`` shrinks the global W8 band to a
+    quantile of the per-chunk window spread, demoting the tail's tiles
+    to the COO epilogue (pole-centered sheets otherwise pay the WORST
+    chunk's band in every chunk's one-hot matmul).  One rogue block
+    spread over the whole small space widens the uncapped band; results
+    must match the oracle exactly either way, and the fused scale stays
+    on (the epilogue folds the diagonal in)."""
+    rng = np.random.default_rng(9)
+    n_blk, n_s = 256, 512
+    n_i = 128 * n_blk
+    ii = np.arange(n_i)
+    rows = ((ii // 128) * 4 + rng.integers(0, 4, n_i)) % n_s
+    # every 4th block also touches a window half the small space away (a
+    # pseudo then holds both, like a pole-adjacent cell's wrap windows) --
+    # intra-pseudo spread is what a first-window sort cannot narrow
+    far = ((ii // 128) % 4 == 2) & (ii % 128 < 8)
+    rows[far] = (rows[far] + n_s // 2) % n_s
+    vals = rng.uniform(0.5, 1.5, n_i)
+    M = WeightedMatrix(rows=rows, cols=ii, vals=vals, shape=(n_s, n_i))
+
+    pm_full = pallas_from_weighted(M, small_axis="rows", nv=8)
+    pm_cap = pallas_from_weighted(M, small_axis="rows", nv=8,
+                                  w8_quantile=0.5)
+    assert pm_cap.nchunk > 1
+    assert pm_cap.W8 < pm_full.W8, (pm_cap.W8, pm_full.W8)
+    assert pm_cap.ov_s is not None and pm_cap.ov_s.size > 0
+
+    f = rng.uniform(0.5, 1.5, (8, n_i))
+    ref = oracle_small(M, f)
+    for pm in (pm_full, pm_cap):
+        got = np.asarray(apply_small(pm, jnp.asarray(f, jnp.float32)))
+        assert np.max(np.abs(got - ref) / (np.abs(ref) + 1e-9)) < 2e-5
+
+    g = rng.uniform(0.5, 1.5, (8, n_s))
+    refI = oracle_ice(M, g)
+    for pm in (pm_full, pm_cap):
+        gotI = np.asarray(apply_ice(pm, jnp.asarray(g, jnp.float32)))
+        assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 2e-5
