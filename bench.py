@@ -232,17 +232,19 @@ def main():
 
     # wide-NV throughput mode (round 5): Antarctica's A1 contraction is
     # MXU-row-bound at nv=16 (16 of 128 sublanes); nv=64 fills half the
-    # array and is the measured per-field-fastest config for wide-field
-    # (many-tracer / ensemble / global-EC) applies -- 730 -> ~498 us
-    # per-8-field (tools/probe_ant_nv.py sweep).  The coupler's 18-field
-    # contract pads to NV, so nv=16 stays the coupled-run default and the
-    # headline keys above.  Fail-safe: a relay hiccup drops this key, not
-    # the bench.
+    # array and ts=8 doubles the contraction depth (halves the dot
+    # count) -- together 730 -> ~402 us per-8-field, the measured
+    # per-field-fastest config for wide-field (many-tracer / ensemble /
+    # global-EC) applies (tools/probe_ant_nv.py + ts sweep; ts=16 loses,
+    # its +95% tile padding turns the chain bandwidth-bound again).  The
+    # coupler's 18-field contract pads to NV, so nv=16/ts=4 stays the
+    # coupled-run default and the headline keys above.  Fail-safe: a
+    # relay hiccup drops this key, not the bench.
     wide = {}
     try:
         from icebin_tpu.ops.pallas_bdt import pallas_from_weighted as _pfw
         Me_a = mats["antarctica"][1]
-        pm64 = _pfw(Me_a, small_axis="rows", nv=64)
+        pm64 = _pfw(Me_a, small_axis="rows", nv=64, ts=8)
         f1 = np.asarray(rng.uniform(1.0, 2.0, Me_a.shape[1]))
         dev = np.asarray(apply_small(pm64, jnp.asarray(f1, jnp.float32)),
                          np.float64)

@@ -259,8 +259,10 @@ def test_overflow_only_bucket_compaction():
     assert np.max(np.abs(gotI - refI) / (np.abs(refI) + 1e-9)) < 4e-5
 
 
-@pytest.mark.parametrize("nv,nvar", [(16, 16), (16, 10), (64, 64)])
-def test_pallas_bdt_wide_nv(nv, nvar):
+@pytest.mark.parametrize("nv,nvar,ts",
+                         [(16, 16, 4), (16, 10, 4), (64, 64, 4),
+                          (64, 64, 8)])
+def test_pallas_bdt_wide_nv(nv, nvar, ts):
     """Production (nv=16, incl. the coupler's padded 10-field harvest)
     and throughput-mode (nv=64) packs vs the oracle.  The NV-wide kernel
     layouts (fold/unfold lanes, band one-hot, batched A1 contraction)
@@ -269,8 +271,8 @@ def test_pallas_bdt_wide_nv(nv, nvar):
     (many-tracer / ensemble) Antarctica-scale applies
     (tools/probe_ant_nv.py)."""
     M = synth(seed=7)
-    pm = pallas_from_weighted(M, small_axis="rows", nv=nv)
-    assert pm.NV == nv
+    pm = pallas_from_weighted(M, small_axis="rows", nv=nv, ts=ts)
+    assert pm.NV == nv and pm.ts == ts
     rng = np.random.default_rng(6)
     f = rng.uniform(0.5, 1.5, (nvar, M.shape[1]))
     f[0, ::7] = np.nan
